@@ -1,0 +1,96 @@
+"""Multi-scale training losses and the EPE metric (reference ``losses.py``).
+
+- ``multiscale_loss``: sum_l alpha_l * ||flow_l - gt_l||_2 with the PWC-Net
+  paper's level weights (coarsest-first ``0.32, 0.08, 0.02, 0.01, 0.005``);
+  the L2 norm is taken per pixel and summed over pixels, averaged over batch
+  (paper eq. 1; reference ``losses.py:~10-35``).
+- ``robust_loss``: fine-tuning loss (|Delta|_1 + eps)^q with q=0.4,
+  eps=0.01 (paper S_fine; reference ``losses.py``).
+- ``epe``: mean end-point error with optional validity mask (KITTI sparse
+  ground truth; reference ``losses.py:~45-60``).
+
+Ground-truth preparation follows the flow-unit convention in
+``pwcnet_tpu/models/pwcnet.py``: per-level GT = full-res GT bilinearly
+downsampled to the level's resolution, divided by ``flow_scale``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# Coarsest-first level weights (PWC-Net paper §4).
+LEVEL_WEIGHTS: Tuple[float, ...] = (0.32, 0.08, 0.02, 0.01, 0.005)
+
+
+def downsample_gt(gt: jax.Array, hw: Tuple[int, int],
+                  flow_scale: float = 20.0,
+                  valid: jax.Array | None = None
+                  ) -> Tuple[jax.Array, jax.Array | None]:
+    """Downsample full-res GT flow (N, H, W, 2) to ``hw`` in scaled units.
+
+    A validity mask (N, H, W) is downsampled alongside; downstream losses
+    weight by it (sparse KITTI GT).
+    """
+    n = gt.shape[0]
+    gt_l = jax.image.resize(gt, (n, hw[0], hw[1], 2), method="bilinear")
+    gt_l = gt_l / flow_scale
+    if valid is None:
+        return gt_l, None
+    v_l = jax.image.resize(valid.astype(jnp.float32), (n, hw[0], hw[1]),
+                           method="bilinear")
+    # Any bilinear mixing with invalid pixels taints the sample.
+    return gt_l, (v_l >= 0.999).astype(jnp.float32)
+
+
+def _masked_pixel_sum(per_pixel: jax.Array,
+                      valid: jax.Array | None) -> jax.Array:
+    """Sum per-pixel values over (H, W), mean over batch; mask-aware."""
+    if valid is not None:
+        per_pixel = per_pixel * valid
+    return jnp.mean(jnp.sum(per_pixel, axis=(1, 2)))
+
+
+def multiscale_loss(flows: List[jax.Array], gt: jax.Array,
+                    valid: jax.Array | None = None,
+                    weights: Sequence[float] = LEVEL_WEIGHTS,
+                    flow_scale: float = 20.0) -> jax.Array:
+    """Paper training loss over the coarsest-first per-level flow list."""
+    total = jnp.float32(0.0)
+    for flow_l, w in zip(flows, weights):
+        gt_l, v_l = downsample_gt(gt, flow_l.shape[1:3], flow_scale, valid)
+        diff = flow_l.astype(jnp.float32) - gt_l
+        # Per-pixel L2 norm of the 2-vector error.
+        mag = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-16)
+        total = total + w * _masked_pixel_sum(mag, v_l)
+    return total
+
+
+def robust_loss(flows: List[jax.Array], gt: jax.Array,
+                valid: jax.Array | None = None,
+                weights: Sequence[float] = LEVEL_WEIGHTS,
+                flow_scale: float = 20.0,
+                eps: float = 0.01, q: float = 0.4) -> jax.Array:
+    """Fine-tuning loss: (|Delta|_1 + eps)^q per pixel (paper S_fine)."""
+    total = jnp.float32(0.0)
+    for flow_l, w in zip(flows, weights):
+        gt_l, v_l = downsample_gt(gt, flow_l.shape[1:3], flow_scale, valid)
+        diff = jnp.abs(flow_l.astype(jnp.float32) - gt_l).sum(-1)
+        total = total + w * _masked_pixel_sum((diff + eps) ** q, v_l)
+    return total
+
+
+def epe(pred: jax.Array, gt: jax.Array,
+        valid: jax.Array | None = None) -> jax.Array:
+    """Mean end-point error. ``pred``/``gt``: (N, H, W, 2) in pixels.
+
+    With ``valid`` (N, H, W), the mean runs over valid pixels only.
+    """
+    diff = pred.astype(jnp.float32) - gt.astype(jnp.float32)
+    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-16)
+    if valid is None:
+        return jnp.mean(dist)
+    v = valid.astype(jnp.float32)
+    return jnp.sum(dist * v) / jnp.maximum(jnp.sum(v), 1.0)

@@ -1,0 +1,214 @@
+"""PWC-Net model assembly — the whole coarse-to-fine forward is one
+jittable function (no Python control flow dependent on data; the per-level
+loop is unrolled at trace time, SURVEY.md §3.2).
+
+Capability parity with the reference's ``model.py`` (``Net``) and
+``modules.py`` (``FeaturePyramidExtractor``, ``OpticalFlowEstimator``,
+``ContextNetwork``); layouts are NHWC, compute dtype configurable (bf16 on
+TPU), correlation dispatches to the lax reference or the Pallas kernel via
+``corr_backend`` (analog of the reference's ``--corr`` flag).
+
+Flow-unit convention (documented here once, used everywhere):
+  Internal per-level flows are in *scaled units* = full-resolution pixels
+  divided by ``flow_scale`` (=20, the PWC-Net paper's supervision scaling).
+  Scaled units are resolution-independent, so upsampling between levels is
+  spatial-only. Warping at pyramid level ``l`` (1/2^l resolution) converts
+  to level-l pixels with the factor ``flow_scale / 2**l``. Ground truth for
+  the level-l loss is the full-res GT downsampled to level-l resolution and
+  divided by ``flow_scale``. Full-resolution pixel flow at inference =
+  bilinear-resize(finest flow, (H, W)) * ``flow_scale``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pwcnet_tpu.models.layers import ConvBlock, ConvStack, leaky_relu
+from pwcnet_tpu.ops.cost_volume import cost_volume
+from pwcnet_tpu.ops.warp import warp_bilinear
+
+# Reference channel plan (reference modules.py FeaturePyramidExtractor):
+# level l (1-indexed, 1/2^l resolution) -> channels.
+DEFAULT_PYRAMID_CHANNELS: Tuple[int, ...] = (16, 32, 64, 96, 128, 196)
+# Estimator conv stack (reference modules.py OpticalFlowEstimator).
+ESTIMATOR_CHANNELS: Tuple[int, ...] = (128, 128, 96, 64, 32)
+# Context network (channels, dilation) pairs (reference modules.py
+# ContextNetwork): final 2-channel conv has no activation.
+CONTEXT_SPEC: Tuple[Tuple[int, int], ...] = (
+    (128, 1), (128, 2), (128, 4), (96, 8), (64, 16), (32, 1))
+
+
+def upsample2x(x: jax.Array) -> jax.Array:
+    """Bilinear 2x spatial upsample (half-pixel convention)."""
+    n, h, w, c = x.shape
+    return jax.image.resize(x, (n, 2 * h, 2 * w, c), method="bilinear")
+
+
+def resize_to(x: jax.Array, hw: Tuple[int, int]) -> jax.Array:
+    n, _, _, c = x.shape
+    return jax.image.resize(x, (n, hw[0], hw[1], c), method="bilinear")
+
+
+class FeaturePyramidExtractor(nn.Module):
+    """Per-level stride-2 conv pairs producing an L-level pyramid.
+
+    Returns features coarsest-first: ``[level_L, ..., level_1]`` where
+    level l has 1/2^l the input resolution and ``channels[l-1]`` channels.
+    """
+
+    channels: Sequence[int] = DEFAULT_PYRAMID_CHANNELS
+    use_norm: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = True) -> List[jax.Array]:
+        feats = []
+        for ch in self.channels:
+            x = ConvBlock(ch, stride=2, use_norm=self.use_norm,
+                          dtype=self.dtype)(x, train=train)
+            x = ConvBlock(ch, stride=1, use_norm=self.use_norm,
+                          dtype=self.dtype)(x, train=train)
+            feats.append(x)
+        return feats[::-1]
+
+
+class OpticalFlowEstimator(nn.Module):
+    """Per-level flow head: conv stack 128-128-96-64-32 -> 2-channel flow.
+
+    Returns (feat32, flow_delta); with ``residual`` the caller adds the
+    upsampled coarser flow (reference ``--residual``).
+    """
+
+    use_norm: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = True):
+        feat = ConvStack(ESTIMATOR_CHANNELS, use_norm=self.use_norm,
+                         dtype=self.dtype)(x, train=train)
+        flow = nn.Conv(2, (3, 3), padding="SAME", dtype=self.dtype,
+                       param_dtype=jnp.float32)(feat)
+        return feat, flow.astype(jnp.float32)
+
+
+class ContextNetwork(nn.Module):
+    """Dilated-conv refinement head applied at the output level."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat: jax.Array, flow: jax.Array, *,
+                 train: bool = True) -> jax.Array:
+        x = jnp.concatenate([feat, flow.astype(feat.dtype)], axis=-1)
+        for ch, dil in CONTEXT_SPEC:
+            x = ConvBlock(ch, dilation=dil, dtype=self.dtype)(x, train=train)
+        delta = nn.Conv(2, (3, 3), padding="SAME", dtype=self.dtype,
+                        param_dtype=jnp.float32)(x)
+        return delta.astype(jnp.float32)
+
+
+class PWCNet(nn.Module):
+    """The full coarse-to-fine PWC-Net (reference ``model.py`` ``Net``).
+
+    Attributes:
+      num_levels: pyramid depth L (reference ``--num_levels``, default 6).
+      output_level: number of coarse-to-fine refinements minus one, counted
+        from the coarsest level (reference ``--output_level``, default 4):
+        estimation runs at pyramid levels L .. L-output_level, so with
+        L=6, output_level=4 the finest predicted flow is at level 2
+        (1/4 resolution).
+      search_range: correlation max displacement d (reference
+        ``--search_range``, default 4 -> 81 channels).
+      residual: estimator predicts an increment on the upsampled flow.
+      corr_backend: 'lax' | 'pallas' correlation implementation.
+      flow_scale: supervision scaling (PWC-Net paper: 20).
+    """
+
+    num_levels: int = 6
+    output_level: int = 4
+    search_range: int = 4
+    residual: bool = True
+    use_norm: bool = False
+    input_norm: bool = False
+    corr_backend: str = "lax"
+    flow_scale: float = 20.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, im1: jax.Array, im2: jax.Array, *,
+                 train: bool = True) -> List[jax.Array]:
+        """Forward pass.
+
+        Args:
+          im1, im2: (N, H, W, 3) images in [0, 1]; H, W divisible by
+            2**num_levels.
+
+        Returns:
+          List of per-level flows, coarsest first, each (N, H_l, W_l, 2) in
+          scaled units (full-res pixels / flow_scale); the last entry is the
+          finest (level ``num_levels - output_level``) prediction.
+        """
+        div = 2 ** self.num_levels
+        h, w = im1.shape[1], im1.shape[2]
+        if h % div or w % div:
+            raise ValueError(
+                f"input H, W must be divisible by 2**num_levels={div}; got "
+                f"{(h, w)} — pad the images (see pwcnet_tpu.train.evaluate."
+                f"pad_to_divisible for the inference path)")
+        chans = DEFAULT_PYRAMID_CHANNELS[:self.num_levels]
+        if self.input_norm:
+            # Per-image standardization over spatial+channel dims.
+            def norm(x):
+                m = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+                s = jnp.std(x, axis=(1, 2, 3), keepdims=True) + 1e-6
+                return (x - m) / s
+            im1, im2 = norm(im1), norm(im2)
+
+        im1 = im1.astype(self.dtype)
+        im2 = im2.astype(self.dtype)
+
+        extractor = FeaturePyramidExtractor(
+            channels=chans, use_norm=self.use_norm, dtype=self.dtype)
+        pyr1 = extractor(im1, train=train)  # coarsest first
+        pyr2 = extractor(im2, train=train)  # shared weights
+
+        flows: List[jax.Array] = []
+        flow = None  # scaled units
+        for i in range(self.output_level + 1):
+            level = self.num_levels - i  # pyramid level (1/2^level res)
+            f1, f2 = pyr1[i], pyr2[i]
+            if flow is None:
+                up_flow = jnp.zeros(f1.shape[:3] + (2,), jnp.float32)
+                warped2 = f2
+            else:
+                up_flow = upsample2x(flow)
+                # scaled units -> pixels at this level.
+                pix = up_flow * (self.flow_scale / (2.0 ** level))
+                warped2 = warp_bilinear(f2, pix)
+
+            corr = cost_volume(f1, warped2,
+                               max_displacement=self.search_range,
+                               backend=self.corr_backend)
+            corr = leaky_relu(corr)
+            x = jnp.concatenate(
+                [corr, f1, up_flow.astype(self.dtype)], axis=-1)
+            feat, delta = OpticalFlowEstimator(
+                use_norm=self.use_norm, dtype=self.dtype,
+                name=f"estimator_l{level}")(x, train=train)
+            flow = up_flow + delta if self.residual else delta
+
+            if i == self.output_level:
+                flow = flow + ContextNetwork(
+                    dtype=self.dtype, name="context")(feat, flow, train=train)
+            flows.append(flow)
+        return flows
+
+    def full_res_flow(self, flows: List[jax.Array],
+                      hw: Tuple[int, int]) -> jax.Array:
+        """Finest prediction -> full-resolution pixel flow (inference path,
+        reference ``predict.py``: upsample finest + undo supervision scale)."""
+        return resize_to(flows[-1], hw) * self.flow_scale

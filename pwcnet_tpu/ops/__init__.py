@@ -1,0 +1,2 @@
+from pwcnet_tpu.ops.warp import warp_bilinear  # noqa: F401
+from pwcnet_tpu.ops.cost_volume import cost_volume, cost_volume_lax  # noqa: F401

@@ -1,0 +1,73 @@
+"""Pallas cost-volume kernel vs the lax oracle (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pwcnet_tpu.ops.cost_volume import cost_volume_lax
+from pwcnet_tpu.ops.pallas.cost_volume_kernel import cost_volume_pallas
+
+
+@pytest.mark.parametrize("shape", [
+    (1, 8, 8, 4),
+    (2, 10, 12, 8),
+    (1, 7, 9, 3),    # ragged H/W, odd channel count
+    (1, 16, 24, 16),
+])
+def test_forward_matches_lax(rng, shape):
+    f1 = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    got = cost_volume_pallas(f1, f2, interpret=True)
+    want = cost_volume_lax(f1, f2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("d", [1, 2])
+def test_other_displacements(rng, d):
+    f1 = jnp.asarray(rng.standard_normal((1, 6, 7, 5)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((1, 6, 7, 5)), jnp.float32)
+    got = cost_volume_pallas(f1, f2, max_displacement=d, interpret=True)
+    want = cost_volume_lax(f1, f2, d)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_grads_match_lax(rng):
+    f1 = jnp.asarray(rng.standard_normal((1, 8, 10, 4)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((1, 8, 10, 4)), jnp.float32)
+    co = jnp.asarray(rng.standard_normal((1, 8, 10, 81)), jnp.float32)
+
+    def loss_pallas(a, b):
+        return jnp.sum(cost_volume_pallas(a, b, interpret=True) * co)
+
+    def loss_lax(a, b):
+        return jnp.sum(cost_volume_lax(a, b) * co)
+
+    gp1, gp2 = jax.grad(loss_pallas, argnums=(0, 1))(f1, f2)
+    gl1, gl2 = jax.grad(loss_lax, argnums=(0, 1))(f1, f2)
+    np.testing.assert_allclose(np.asarray(gp1), np.asarray(gl1),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gp2), np.asarray(gl2),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_bf16_forward_close_to_f32(rng):
+    f1 = rng.standard_normal((1, 8, 8, 8)).astype(np.float32)
+    f2 = rng.standard_normal((1, 8, 8, 8)).astype(np.float32)
+    got = cost_volume_pallas(jnp.asarray(f1, jnp.bfloat16),
+                             jnp.asarray(f2, jnp.bfloat16), interpret=True)
+    assert got.dtype == jnp.bfloat16
+    want = cost_volume_lax(jnp.asarray(f1), jnp.asarray(f2))
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), rtol=0.05, atol=0.05)
+
+
+def test_oversize_falls_back_to_lax(rng, monkeypatch):
+    import pwcnet_tpu.ops.pallas.cost_volume_kernel as m
+    monkeypatch.setattr(m, "_VMEM_BUDGET_BYTES", 1024)
+    f1 = jnp.asarray(rng.standard_normal((1, 16, 16, 8)), jnp.float32)
+    out = cost_volume_pallas(f1, f1, interpret=True)
+    want = cost_volume_lax(f1, f1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-5)

@@ -1,0 +1,83 @@
+"""Tests for multi-scale losses and EPE (incl. KITTI-style masking)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pwcnet_tpu.losses import (
+    LEVEL_WEIGHTS,
+    downsample_gt,
+    epe,
+    multiscale_loss,
+    robust_loss,
+)
+
+
+def _flows_like_gt(gt, levels=(1, 2, 4, 8, 16), flow_scale=20.0):
+    """Per-level flow list exactly matching the downsampled gt -> zero loss."""
+    flows = []
+    for hw in levels:
+        gt_l, _ = downsample_gt(gt, (hw, 2 * hw), flow_scale)
+        flows.append(gt_l)
+    return flows
+
+
+def test_perfect_prediction_zero_loss(rng):
+    gt = jnp.asarray(rng.standard_normal((2, 32, 64, 2)) * 5, jnp.float32)
+    flows = _flows_like_gt(gt)
+    loss = float(multiscale_loss(flows, gt))
+    assert loss < 1e-3
+
+
+def test_loss_positive_and_weighted(rng):
+    gt = jnp.zeros((1, 32, 64, 2), jnp.float32)
+    # Error of 1 (scaled unit) at every pixel of every level.
+    flows = [jnp.ones((1, h, 2 * h, 2), jnp.float32)
+             for h in (1, 2, 4, 8, 16)]
+    loss = float(multiscale_loss(flows, gt))
+    # Each level contributes w_l * num_pixels * sqrt(2).
+    want = sum(w * (h * 2 * h) * np.sqrt(2.0)
+               for w, h in zip(LEVEL_WEIGHTS, (1, 2, 4, 8, 16)))
+    np.testing.assert_allclose(loss, want, rtol=1e-5)
+
+
+def test_robust_loss_less_outlier_sensitive(rng):
+    gt = jnp.zeros((1, 16, 16, 2), jnp.float32)
+    small = [jnp.full((1, 4, 4, 2), 0.1, jnp.float32)]
+    big = [jnp.full((1, 4, 4, 2), 10.0, jnp.float32)]
+    w = [1.0]
+    r_ratio = float(robust_loss(big, gt, weights=w)) / float(
+        robust_loss(small, gt, weights=w))
+    l_ratio = float(multiscale_loss(big, gt, weights=w)) / float(
+        multiscale_loss(small, gt, weights=w))
+    assert r_ratio < l_ratio  # sub-linear growth in the error
+
+
+def test_epe_basic():
+    pred = jnp.zeros((1, 4, 4, 2), jnp.float32)
+    gt = jnp.ones((1, 4, 4, 2), jnp.float32) * jnp.asarray([3.0, 4.0])
+    np.testing.assert_allclose(float(epe(pred, gt)), 5.0, rtol=1e-6)
+
+
+def test_epe_masked():
+    pred = jnp.zeros((1, 2, 2, 2), jnp.float32)
+    gt = jnp.asarray(
+        [[[[3.0, 4.0], [0.0, 0.0]], [[0.0, 0.0], [0.0, 0.0]]]], jnp.float32)
+    valid = jnp.asarray([[[1.0, 0.0], [0.0, 0.0]]], jnp.float32)
+    # Only the (0,0) pixel counts -> EPE 5.
+    np.testing.assert_allclose(float(epe(pred, gt, valid)), 5.0, rtol=1e-6)
+    # Unmasked would average over all 4 pixels.
+    np.testing.assert_allclose(float(epe(pred, gt)), 1.25, rtol=1e-6)
+
+
+def test_masked_multiscale_loss(rng):
+    gt = jnp.asarray(rng.standard_normal((1, 16, 16, 2)), jnp.float32)
+    valid = jnp.zeros((1, 16, 16), jnp.float32)
+    flows = [jnp.zeros((1, 16, 16, 2), jnp.float32)]
+    # All-invalid mask -> zero loss.
+    loss = float(multiscale_loss(flows, gt, valid=valid, weights=[1.0]))
+    assert loss == 0.0
+    # All-valid equals unmasked.
+    loss_v = float(multiscale_loss(
+        flows, gt, valid=jnp.ones((1, 16, 16)), weights=[1.0]))
+    loss_u = float(multiscale_loss(flows, gt, weights=[1.0]))
+    np.testing.assert_allclose(loss_v, loss_u, rtol=1e-6)
