@@ -1,0 +1,115 @@
+"""Headline benchmark: PWC-Net inference at Sintel resolution on one chip.
+
+Prints ONE JSON line:
+  {"metric": "sintel_inference_fps", "value": N, "unit": "frames/sec",
+   "vs_baseline": N/35.0}
+
+Baseline: the PWC-Net paper reports ~35 fps at Sintel resolution
+(1024x436) on an NVIDIA Pascal Titan X (BASELINE.md); the reference repo
+publishes no numbers of its own.
+
+Extra context (not the headline line) goes to stderr: training
+pairs/sec/chip at the FlyingChairs crop, and the correlation-kernel
+effective bandwidth.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _bench(fn, *args, iters=100, warmup=5):
+    """Amortized per-call time with a hard device sync.
+
+    ``fn`` must return a scalar. Through the remote-TPU tunnel,
+    ``block_until_ready`` does not actually wait for execution (a no-op
+    ack) while any host fetch costs a ~28 ms round trip — so time many
+    dispatches and fetch one scalar at the end.
+    """
+    for _ in range(warmup):
+        r = fn(*args)
+    float(r)  # hard sync
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn(*args)
+    float(r)  # hard sync
+    return (time.perf_counter() - t0) / iters
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    import optax
+    from pwcnet_tpu.models import PWCNet
+    from pwcnet_tpu.train.schedule import S_LONG, make_optimizer
+    from pwcnet_tpu.train.state import TrainState
+    from pwcnet_tpu.train.step import make_train_step
+
+    rng = np.random.default_rng(0)
+    model = PWCNet(corr_backend="pallas", dtype=jnp.bfloat16)
+
+    # --- headline: Sintel-resolution inference (436x1024 padded to /64) ---
+    h, w = 448, 1024
+    im1 = jnp.asarray(rng.random((1, h, w, 3)), jnp.float32)
+    im2 = jnp.asarray(rng.random((1, h, w, 3)), jnp.float32)
+    params = jax.jit(model.init)(jax.random.key(0), im1, im2)
+
+    @jax.jit
+    def infer(params, a, b):
+        flows = model.apply(params, a, b, train=False)
+        # Reduce to a scalar so the benchmark's hard sync is a tiny fetch
+        # while still forcing the whole computation.
+        return jnp.sum(model.full_res_flow(flows, (h, w)))
+
+    t_infer = _bench(infer, params, im1, im2)
+    fps = 1.0 / t_infer
+
+    # --- context: training pairs/sec on the FlyingChairs crop ---
+    try:
+        tx = make_optimizer(S_LONG)
+        bh, bw, bs = 384, 448, 8
+        batch = {
+            "im1": jnp.asarray(rng.random((bs, bh, bw, 3)), jnp.float32),
+            "im2": jnp.asarray(rng.random((bs, bh, bw, 3)), jnp.float32),
+            "flow": jnp.asarray(rng.standard_normal((bs, bh, bw, 2)),
+                                jnp.float32),
+            "valid": jnp.ones((bs, bh, bw), jnp.float32),
+        }
+        tparams = jax.jit(model.init)(
+            jax.random.key(0), batch["im1"][:1], batch["im2"][:1])
+        state = TrainState.create(tparams, tx, jax.random.key(1))
+        step = make_train_step(model, tx, aug=None)
+
+        def train_once(state, batch):
+            state, metrics = step(state, batch)
+            return state, metrics
+
+        # Manual warmup/timing (state is donated; thread it through).
+        state, m = train_once(state, batch)
+        float(m["loss"])  # hard sync
+        iters = 20
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = train_once(state, batch)
+        float(m["loss"])  # hard sync
+        t_step = (time.perf_counter() - t0) / iters
+        print(f"train: {bs / t_step:.2f} pairs/sec/chip "
+              f"({t_step * 1e3:.1f} ms/step, batch {bs} @ {bh}x{bw})",
+              file=sys.stderr)
+    except Exception as e:  # context metrics must not kill the headline
+        print(f"train bench failed: {e!r}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "sintel_inference_fps",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 35.0, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

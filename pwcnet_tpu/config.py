@@ -1,0 +1,174 @@
+"""Config tree: dataclass sections + CLI overrides + named presets.
+
+Replaces the reference's flat ~25-flag argparse surface
+(``main.py:~1-90``) with a structured config (SURVEY.md §5 config system).
+Every reference flag has a home here:
+
+  --dataset/--dataset_dir      -> DataConfig.name / .root
+  --crop_shape/--crop_type     -> DataConfig.crop_hw (+augment), eval pad
+  --batch_size                 -> TrainConfig.global_batch
+  --lr/--milestones/--gamma    -> TrainConfig.schedule
+  --weight_decay               -> TrainConfig.weight_decay
+  --total_step                 -> TrainConfig.schedule.total_steps
+  --num_levels/--output_level  -> ModelConfig
+  --search_range               -> ModelConfig.search_range
+  --corr                       -> ModelConfig.corr_backend
+  --residual                   -> ModelConfig.residual
+  --input_norm/--batch_norm    -> ModelConfig.input_norm / .use_norm
+  --log_dir                    -> TrainConfig.log_dir
+  --summary_interval etc.      -> TrainConfig.*_interval
+  --load                       -> TrainConfig.resume (auto-latest) / init_from
+  --device/--num_workers       -> ParallelConfig / DataConfig.num_threads
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+from pwcnet_tpu.data.augment import AugmentConfig
+from pwcnet_tpu.train.schedule import S_FINE, S_LONG, ScheduleConfig
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    num_levels: int = 6
+    output_level: int = 4
+    search_range: int = 4
+    residual: bool = True
+    use_norm: bool = False
+    input_norm: bool = False
+    corr_backend: str = "pallas"
+    flow_scale: float = 20.0
+    dtype: str = "bfloat16"           # compute dtype: float32|bfloat16
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    name: str = "flyingchairs"
+    root: str = "/data/FlyingChairs_release/data"
+    crop_hw: Tuple[int, int] = (384, 448)
+    sample_hw: Tuple[int, int] = (384, 512)   # host collation shape
+    eval_batch: int = 4
+    num_threads: int = 8
+    augment: AugmentConfig = field(default_factory=AugmentConfig)
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    data: int = -1
+    spatial: int = 1
+    model: int = 1
+    coordinator: Optional[str] = None
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    global_batch: int = 8
+    schedule: ScheduleConfig = field(default_factory=lambda: S_LONG)
+    weight_decay: float = 4e-4
+    grad_clip: float = 0.0
+    loss: str = "multiscale"          # multiscale | robust
+    seed: int = 0
+    log_dir: str = "runs/default"
+    summary_interval: int = 100
+    eval_interval: int = 5000
+    checkpoint_interval: int = 5000
+    max_to_keep: int = 5
+    resume: bool = True               # auto-resume from latest in log_dir
+    init_from: Optional[str] = None   # warm-start params from a checkpoint
+    eval_limit: Optional[int] = None  # cap val samples (speed)
+    profile_dir: Optional[str] = None # jax.profiler trace output
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+
+
+def _replace(cfg, **kw):
+    return dataclasses.replace(cfg, **kw)
+
+
+# Presets for the BASELINE.json configs (SURVEY.md §5 "presets").
+PRESETS = {
+    # config 1: one FlyingChairs pair on CPU — handled by `pwcnet predict`.
+    "chairs-1chip": Config(
+        train=TrainConfig(global_batch=8, log_dir="runs/chairs"),
+    ),
+    "chairs-quick": Config(  # smoke-scale run
+        train=TrainConfig(
+            global_batch=4,
+            schedule=ScheduleConfig(base_lr=1e-4, milestones=(800, 900),
+                                    total_steps=1000),
+            summary_interval=20, eval_interval=200, checkpoint_interval=200,
+            eval_limit=64, log_dir="runs/chairs-quick"),
+    ),
+    "things-ft": Config(
+        data=DataConfig(name="flyingthings", root="/data/FlyingThings3D",
+                        crop_hw=(384, 768), sample_hw=(540, 960)),
+        train=TrainConfig(global_batch=8, schedule=S_FINE, loss="multiscale",
+                          log_dir="runs/things-ft"),
+    ),
+    "sintel-eval": Config(
+        data=DataConfig(name="sintel", root="/data/Sintel",
+                        sample_hw=(448, 1024)),
+        train=TrainConfig(log_dir="runs/sintel-eval"),
+    ),
+    "kitti-multihost": Config(
+        data=DataConfig(name="kitti", root="/data/KITTI2015",
+                        crop_hw=(320, 896), sample_hw=(384, 1280)),
+        train=TrainConfig(global_batch=16, schedule=S_FINE, loss="robust",
+                          log_dir="runs/kitti-ft"),
+    ),
+}
+
+
+def apply_overrides(cfg: Config, overrides: list[str]) -> Config:
+    """Apply ``section.field=value`` CLI overrides (nested via dots)."""
+    for ov in overrides:
+        if "=" not in ov:
+            raise ValueError(f"override must be key=value, got {ov!r}")
+        key, val = ov.split("=", 1)
+        parts = key.split(".")
+        cfg = _set_nested(cfg, parts, val)
+    return cfg
+
+
+def _coerce(current, val: str):
+    import ast
+    if isinstance(current, bool):
+        return val.lower() in ("1", "true", "yes")
+    if val.lower() in ("none", "null"):
+        return None
+    if isinstance(current, str):
+        return val
+    if current is None:
+        # Optional field with no type witness: parse literals (ints, tuples,
+        # ...), keep unparseable values as strings (paths etc.).
+        try:
+            return ast.literal_eval(val)
+        except (ValueError, SyntaxError):
+            return val
+    try:
+        return type(current)(ast.literal_eval(val))
+    except (ValueError, SyntaxError):
+        return type(current)(val)
+
+
+def _set_nested(obj, parts, val):
+    name = parts[0]
+    if not hasattr(obj, name):
+        raise AttributeError(
+            f"{type(obj).__name__} has no field {name!r}; have "
+            f"{[f.name for f in dataclasses.fields(obj)]}")
+    cur = getattr(obj, name)
+    if len(parts) == 1:
+        return dataclasses.replace(obj, **{name: _coerce(cur, val)})
+    return dataclasses.replace(obj, **{name: _set_nested(cur, parts[1:], val)})

@@ -4,23 +4,32 @@ This is the TPU-native replacement for the reference's CUDA extension
 (reference ``correlation_package/correlation_cuda_kernel.cu``:
 ``correlation_forward``, ``correlation_backward_input1/2`` — SURVEY.md §2a):
 a fused local correlation with ``max_displacement=d`` (output channels
-``(2d+1)^2``), channels-last layout, f32 accumulation, and a
-``jax.custom_vjp`` whose backward passes are also Pallas kernels.
+``(2d+1)^2``), f32 accumulation, and a ``jax.custom_vjp`` whose backward
+passes are also Pallas kernels.
 
-Kernel strategy (TPU-first, not a CUDA translation):
-- Frame-2 features are zero-padded by ``d`` in XLA and the *whole padded
-  image* is kept resident in VMEM per grid step (PWC-Net pyramid levels are
-  small: e.g. Sintel level 2 is 109x256x32 bf16 ≈ 1.8 MB; a VMEM budget
-  check falls back to the lax implementation for oversized inputs).
-- The grid tiles (batch, H-rows); each program computes a
-  ``(TILE_H, W, D^2)`` output tile. The 81 displacement taps are a static
-  Python loop — 81 VPU multiply-reduce ops over the channel axis, unrolled
-  by Mosaic, each reading a shifted window of the resident f2 block
-  (``f1``/``f2`` are each read from HBM exactly once — the HBM
-  speed-of-light target from BASELINE.json).
+Kernel strategy (TPU-first, not a CUDA translation; measured on v5e):
+- Inside the kernel, tensors are **channel-first** ``(C, H, W)``: W rides
+  the 128-lane dimension (PWC-Net level widths are 100-500 px so lanes
+  stay busy), H rides sublanes, and the channel reduction runs over the
+  leading, untiled axis — no lane padding when C < 128 (pyramid channels
+  are 16-196) and no cross-lane reduction shuffles. The NHWC<->NCHW
+  transposes happen in XLA around the kernel.
+- The grid tiles (batch, H-rows). The ±d halo that displacement taps need
+  is provided by passing the padded frame-2 features twice with **adjacent
+  row-block index maps** (blocks i and i+1): Pallas' normal grid pipelining
+  keeps the double-buffered DMAs, and every in-kernel tap slice is fully
+  static. (Earlier designs — whole-image VMEM residency, or dynamic
+  ``row0+dy`` sublane offsets — OOM scoped VMEM at the finest level or
+  fail Mosaic's alignment checks.)
+- Loop order is dx-outer / dy-inner: the unaligned **lane**-offset slice
+  (the expensive cross-lane rotation) happens once per dx into a VMEM
+  scratch (9 rotations per tile instead of 81); dy offsets are cheap
+  static sublane slices. Products stay in the input dtype (bf16 in the
+  production model) and accumulate in f32 via ``jnp.sum(dtype=f32)``,
+  matching the CUDA kernel's f32 accumulate.
 - Backward-wrt-f1 has the same shifted-window gather structure as the
   forward; backward-wrt-f2 (a scatter in the CUDA version) is recast as a
-  gather from the *opposite* displacement of the padded ``g * f1`` product
+  gather from the *opposite* displacement of the padded ``[g | f1]`` stack
   (SURVEY.md §7 "hard parts" #1).
 
 Displacement channel ordering matches the lax reference and the CUDA
@@ -37,52 +46,78 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Default VMEM budget for resident blocks (per-core VMEM is ~16 MB; leave
-# headroom for double buffering and the output tile).
-_VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+# Per-core VMEM budget (hardware has ~16 MB of scoped VMEM; the estimate
+# below already counts the double-buffered grid pipeline, so only a small
+# margin for Mosaic scratch is reserved).
+_VMEM_BUDGET_BYTES = int(11.5 * 1024 * 1024)
 
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _pick_tile_h(h: int, w: int, c: int, d: int, itemsize: int) -> int:
-    """Choose the per-program row-tile so all resident buffers fit VMEM."""
-    f2_bytes = (h + 2 * d) * (w + 2 * d) * c * itemsize
-    side = 2 * d + 1
-    for tile_h in (32, 16, 8, 4, 2, 1):
-        tile_bytes = (
-            tile_h * w * c * itemsize            # f1 tile
-            + tile_h * w * side * side * 4       # f32 out tile
+def _round_up(x: int, m: int) -> int:
+    return _cdiv(x, m) * m
+
+
+def _pick_tile(w: int, c_in: int, c_out: int, d: int,
+               itemsize: int) -> int | None:
+    """Row-tile height so that all double-buffered blocks fit VMEM.
+
+    Mosaic tiling: a (C, H, W) buffer pads H to 8 sublanes, W to 128 lanes.
+    """
+    wl = _round_up(w, 128)
+    wp = _round_up(w + 2 * d, 128)
+    for tile in (32, 16, 8):
+        per_step = (
+            c_in * tile * wl * itemsize        # f1 / g row block
+            + 2 * c_in * tile * wp * itemsize  # two halo row blocks
+            + c_out * tile * wl * 4            # f32 out block
         )
-        # Grid pipelining double-buffers the tiles.
-        if f2_bytes + 2 * tile_bytes <= _VMEM_BUDGET_BYTES:
-            return min(tile_h, h)
-    return 1
+        scratch = c_in * 2 * tile * wl * itemsize + c_in * tile * wl * 4
+        if 2 * per_step + scratch <= _VMEM_BUDGET_BYTES:
+            return tile
+    return None
 
 
-def _fits_vmem(h: int, w: int, c: int, d: int, itemsize: int) -> bool:
-    return (h + 2 * d) * (w + 2 * d) * c * itemsize <= _VMEM_BUDGET_BYTES // 2
+def _to_cf(x: jax.Array) -> jax.Array:
+    """(N, H, W, C) -> (N, C, H, W)."""
+    return jnp.transpose(x, (0, 3, 1, 2))
+
+
+def _from_cf(x: jax.Array) -> jax.Array:
+    """(N, C, H, W) -> (N, H, W, C)."""
+    return jnp.transpose(x, (0, 2, 3, 1))
+
+
+def _pad_rows(x_cf: jax.Array, d: int, tile: int, n_tiles: int,
+              h: int) -> jax.Array:
+    """Pad (N, C, H, W) rows so block ``i+1`` of the halo spec is always in
+    range: top d, bottom d + ragged-tile slack + one extra tile."""
+    bottom = d + (n_tiles * tile - h) + tile
+    return jnp.pad(x_cf, ((0, 0), (0, 0), (d, bottom), (d, d)))
 
 
 # ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------
 
-def _corr_fwd_kernel(f1_ref, f2p_ref, out_ref, *, d: int, tile_h: int,
-                     w: int, c: int):
-    """out[y, x, k] = (1/C) sum_c f1[y, x, c] * f2p[y+dy, x+dx, c]."""
-    row0 = pl.program_id(1) * tile_h
-    f1b = f1_ref[0].astype(jnp.float32)  # (TILE_H, W, C)
+def _corr_fwd_kernel(f1_ref, f2a_ref, f2b_ref, out_ref, f2x, *, d: int,
+                     tile: int, w: int, c: int):
+    """out[k, y, x] = (1/C) sum_c f1[c, y, x] * f2p[c, y+dy, x+dx]."""
     side = 2 * d + 1
-    inv_c = 1.0 / c
-    taps = []
-    for dy in range(side):
-        for dx in range(side):
-            f2w = f2p_ref[0, pl.ds(row0 + dy, tile_h),
-                          pl.ds(dx, w), :].astype(jnp.float32)
-            taps.append(jnp.sum(f1b * f2w, axis=-1) * inv_c)
-    out_ref[0] = jnp.stack(taps, axis=-1)
+    inv_c = jnp.float32(1.0 / c)
+    f1b = f1_ref[0]  # (C, TILE, W)
+    for dx in range(side):
+        # The one cross-lane rotation for this dx, materialized to scratch
+        # half-by-half (concatenating the halo halves first would double
+        # VMEM pressure).
+        f2x[:, :tile, :] = f2a_ref[0, :, :, dx:dx + w]
+        f2x[:, tile:, :] = f2b_ref[0, :, :, dx:dx + w]
+        for dy in range(side):
+            out_ref[0, dy * side + dx] = (
+                jnp.sum(f1b * f2x[:, dy:dy + tile, :], axis=0,
+                        dtype=jnp.float32) * inv_c)
 
 
 def _corr_forward_pallas(f1: jax.Array, f2: jax.Array, d: int,
@@ -90,76 +125,79 @@ def _corr_forward_pallas(f1: jax.Array, f2: jax.Array, d: int,
     n, h, w, c = f1.shape
     side = 2 * d + 1
     itemsize = f1.dtype.itemsize
-    tile_h = _pick_tile_h(h, w, c, d, itemsize)
-    n_tiles = _cdiv(h, tile_h)
-    # Pad so the kernel's shifted row-windows never run past the buffer even
-    # for a ragged final tile (dynamic_slice would otherwise clamp the start
-    # and silently misalign the last rows).
-    pad_h = n_tiles * tile_h - h
-    f2p = jnp.pad(f2, ((0, 0), (d, d + pad_h), (d, d), (0, 0)))
+    tile = min(_pick_tile(w, c, side * side, d, itemsize),
+               _round_up(h, 8))
+    n_tiles = _cdiv(h, tile)
+    f1cf = _to_cf(f1)
+    f2cf = _pad_rows(_to_cf(f2), d, tile, n_tiles, h)
+    wp = w + 2 * d
 
+    halo_spec = lambda off: pl.BlockSpec(
+        (1, c, tile, wp), lambda b, i, _o=off: (b, 0, i + _o, 0),
+        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_corr_fwd_kernel, d=d, tile_h=tile_h, w=w, c=c),
-        out_shape=jax.ShapeDtypeStruct((n, h, w, side * side), jnp.float32),
+        functools.partial(_corr_fwd_kernel, d=d, tile=tile, w=w, c=c),
+        out_shape=jax.ShapeDtypeStruct((n, side * side, h, w), jnp.float32),
         grid=(n, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, tile_h, w, c), lambda b, i: (b, i, 0, 0),
+            pl.BlockSpec((1, c, tile, w), lambda b, i: (b, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h + 2 * d + pad_h, w + 2 * d, c),
-                         lambda b, i: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            halo_spec(0),
+            halo_spec(1),
         ],
-        out_specs=pl.BlockSpec((1, tile_h, w, side * side),
-                               lambda b, i: (b, i, 0, 0),
+        out_specs=pl.BlockSpec((1, side * side, tile, w),
+                               lambda b, i: (b, 0, i, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((c, 2 * tile, w), f1.dtype)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * n * h * w * side * side * c,
-            bytes_accessed=(2 * n * h * w * c * itemsize
+            bytes_accessed=(3 * n * h * w * c * itemsize
                             + n * h * w * side * side * 4),
             transcendentals=0,
         ),
-    )(f1, f2p)
-    return out.astype(f1.dtype)
+    )(f1cf, f2cf, f2cf)
+    return _from_cf(out).astype(f1.dtype)
 
 
 # ---------------------------------------------------------------------------
 # Backward kernels
 # ---------------------------------------------------------------------------
 
-def _corr_bwd_f1_kernel(g_ref, f2p_ref, out_ref, *, d: int, tile_h: int,
-                        w: int, c: int):
-    """df1[y, x, c] = (1/C) sum_k g[y, x, k] * f2p[y+dy, x+dx, c]."""
-    row0 = pl.program_id(1) * tile_h
-    g = g_ref[0].astype(jnp.float32)  # (TILE_H, W, D^2)
+def _corr_bwd_f1_kernel(g_ref, f2a_ref, f2b_ref, out_ref, f2x, acc, *,
+                        d: int, tile: int, w: int, c: int):
+    """df1[c, y, x] = (1/C) sum_k g[k, y, x] * f2p[c, y+dy, x+dx]."""
     side = 2 * d + 1
-    acc = jnp.zeros((tile_h, w, c), jnp.float32)
-    for dy in range(side):
-        for dx in range(side):
+    gb = g_ref[0]  # (D^2, TILE, W) f32
+    acc[...] = jnp.zeros_like(acc)
+    for dx in range(side):
+        f2x[:, :tile, :] = f2a_ref[0, :, :, dx:dx + w]
+        f2x[:, tile:, :] = f2b_ref[0, :, :, dx:dx + w]
+        for dy in range(side):
             k = dy * side + dx
-            f2w = f2p_ref[0, pl.ds(row0 + dy, tile_h),
-                          pl.ds(dx, w), :].astype(jnp.float32)
-            acc = acc + g[:, :, k:k + 1] * f2w
-    out_ref[0] = acc * (1.0 / c)
+            acc[...] += gb[k:k + 1] * f2x[:, dy:dy + tile, :]
+    out_ref[0] = acc[...] * (1.0 / c)
 
 
-def _corr_bwd_f2_kernel(gf1p_ref, out_ref, *, d: int, tile_h: int,
-                        w: int, c: int, side2: int):
-    """df2[y, x, c] = (1/C) sum_k gp[y+sy, x+sx, k] * f1p[y+sy, x+sx, c]
-    with (sy, sx) = (d - dy, d - dx) — the scatter recast as a gather from
-    the opposite shift. ``gf1p`` packs [g (D^2) | f1 (C)] padded by d."""
-    row0 = pl.program_id(1) * tile_h
+def _corr_bwd_f2_kernel(ga_ref, gb_ref, f1a_ref, f1b_ref, out_ref, gx, f1x,
+                        acc, *, d: int, tile: int, w: int, c: int):
+    """df2[c, y, x] = (1/C) sum_k gp[k, y+sy, x+sx] * f1p[c, y+sy, x+sx]
+    with (sy, sx) = (2d - dy, 2d - dx) — the CUDA scatter recast as a
+    gather from the opposite shift of d-padded g and f1."""
     side = 2 * d + 1
-    acc = jnp.zeros((tile_h, w, c), jnp.float32)
-    for dy in range(side):
-        for dx in range(side):
+    acc[...] = jnp.zeros_like(acc)
+    for dx in range(side):
+        sx = 2 * d - dx
+        gx[:, :tile, :] = ga_ref[0, :, :, sx:sx + w]
+        gx[:, tile:, :] = gb_ref[0, :, :, sx:sx + w]
+        f1x[:, :tile, :] = f1a_ref[0, :, :, sx:sx + w]
+        f1x[:, tile:, :] = f1b_ref[0, :, :, sx:sx + w]
+        for dy in range(side):
             k = dy * side + dx
-            sy, sx = 2 * d - dy, 2 * d - dx
-            win = gf1p_ref[0, pl.ds(row0 + sy, tile_h), pl.ds(sx, w), :]
-            gk = win[:, :, k:k + 1].astype(jnp.float32)
-            f1w = win[:, :, side2:].astype(jnp.float32)
-            acc = acc + gk * f1w
-    out_ref[0] = acc * (1.0 / c)
+            sy = 2 * d - dy
+            acc[...] += (gx[k:k + 1, sy:sy + tile, :]
+                         * f1x[:, sy:sy + tile, :])
+    out_ref[0] = acc[...] * (1.0 / c)
 
 
 def _corr_backward_pallas(f1: jax.Array, f2: jax.Array, g: jax.Array,
@@ -168,50 +206,51 @@ def _corr_backward_pallas(f1: jax.Array, f2: jax.Array, g: jax.Array,
     n, h, w, c = f1.shape
     side = 2 * d + 1
     side2 = side * side
-    itemsize = 4
-    tile_h = _pick_tile_h(h, w, max(c, side2 + c), d, itemsize)
-    n_tiles = _cdiv(h, tile_h)
-    pad_h = n_tiles * tile_h - h
+    wp = w + 2 * d
+    g32 = _to_cf(g.astype(jnp.float32))
 
-    g32 = g.astype(jnp.float32)
+    tile = min(_pick_tile(w, side2 + c, c, d, 4), _round_up(h, 8))
+    n_tiles = _cdiv(h, tile)
+
+    halo = lambda ch, off: pl.BlockSpec(
+        (1, ch, tile, wp), lambda b, i, _o=off: (b, 0, i + _o, 0),
+        memory_space=pltpu.VMEM)
 
     # --- df1: same windowed-gather structure as the forward. ---
-    f2p = jnp.pad(f2.astype(jnp.float32),
-                  ((0, 0), (d, d + pad_h), (d, d), (0, 0)))
+    f2cf = _pad_rows(_to_cf(f2.astype(jnp.float32)), d, tile, n_tiles, h)
     df1 = pl.pallas_call(
-        functools.partial(_corr_bwd_f1_kernel, d=d, tile_h=tile_h, w=w, c=c),
-        out_shape=jax.ShapeDtypeStruct((n, h, w, c), jnp.float32),
+        functools.partial(_corr_bwd_f1_kernel, d=d, tile=tile, w=w, c=c),
+        out_shape=jax.ShapeDtypeStruct((n, c, h, w), jnp.float32),
         grid=(n, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, tile_h, w, side2), lambda b, i: (b, i, 0, 0),
+            pl.BlockSpec((1, side2, tile, w), lambda b, i: (b, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h + 2 * d + pad_h, w + 2 * d, c),
-                         lambda b, i: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            halo(c, 0),
+            halo(c, 1),
         ],
-        out_specs=pl.BlockSpec((1, tile_h, w, c), lambda b, i: (b, i, 0, 0),
+        out_specs=pl.BlockSpec((1, c, tile, w), lambda b, i: (b, 0, i, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((c, 2 * tile, w), jnp.float32),
+                        pltpu.VMEM((c, tile, w), jnp.float32)],
         interpret=interpret,
-    )(g32, f2p)
+    )(g32, f2cf, f2cf)
 
-    # --- df2: gather from opposite shifts of padded [g | f1]. ---
-    gf1 = jnp.concatenate([g32, f1.astype(jnp.float32)], axis=-1)
-    gf1p = jnp.pad(gf1, ((0, 0), (d, d + pad_h), (d, d), (0, 0)))
+    # --- df2: gather from opposite shifts of padded g and f1. ---
+    gp = _pad_rows(g32, d, tile, n_tiles, h)
+    f1p = _pad_rows(_to_cf(f1.astype(jnp.float32)), d, tile, n_tiles, h)
     df2 = pl.pallas_call(
-        functools.partial(_corr_bwd_f2_kernel, d=d, tile_h=tile_h, w=w,
-                          c=c, side2=side2),
-        out_shape=jax.ShapeDtypeStruct((n, h, w, c), jnp.float32),
+        functools.partial(_corr_bwd_f2_kernel, d=d, tile=tile, w=w, c=c),
+        out_shape=jax.ShapeDtypeStruct((n, c, h, w), jnp.float32),
         grid=(n, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, h + 2 * d + pad_h, w + 2 * d, side2 + c),
-                         lambda b, i: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, tile_h, w, c), lambda b, i: (b, i, 0, 0),
+        in_specs=[halo(side2, 0), halo(side2, 1), halo(c, 0), halo(c, 1)],
+        out_specs=pl.BlockSpec((1, c, tile, w), lambda b, i: (b, 0, i, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((side2, 2 * tile, w), jnp.float32),
+                        pltpu.VMEM((c, 2 * tile, w), jnp.float32),
+                        pltpu.VMEM((c, tile, w), jnp.float32)],
         interpret=interpret,
-    )(gf1p)
-    return df1.astype(f1.dtype), df2.astype(f2.dtype)
+    )(gp, gp, f1p, f1p)
+    return (_from_cf(df1).astype(f1.dtype), _from_cf(df2).astype(f2.dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -247,9 +286,13 @@ def cost_volume_pallas(f1: jax.Array, f2: jax.Array, *,
         raise ValueError(f"shape mismatch {f1.shape} vs {f2.shape}")
     n, h, w, c = f1.shape
     d = max_displacement
+    side = 2 * d + 1
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if not _fits_vmem(h, w, c, d, f1.dtype.itemsize):
+    # Both forward and backward tiles must fit VMEM (training uses both).
+    fwd_ok = _pick_tile(w, c, side * side, d, f1.dtype.itemsize) is not None
+    bwd_ok = _pick_tile(w, side * side + c, c, d, 4) is not None
+    if not (fwd_ok and bwd_ok):
         from pwcnet_tpu.ops.cost_volume import cost_volume_lax
         return cost_volume_lax(f1, f2, d)
     return _cost_volume_pallas(f1, f2, d, interpret)

@@ -1,0 +1,13 @@
+from pwcnet_tpu.parallel.mesh import (  # noqa: F401
+    DATA_AXIS,
+    MODEL_AXIS,
+    SPATIAL_AXIS,
+    MeshConfig,
+    batch_sharding,
+    batch_spatial_sharding,
+    initialize_distributed,
+    local_batch_size,
+    make_mesh,
+    replicated,
+    shard_batch,
+)

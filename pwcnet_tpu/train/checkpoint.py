@@ -1,0 +1,64 @@
+"""Orbax checkpointing of the full train state (SURVEY.md §5).
+
+Upgrades over the reference's ``torch.save(state_dict)`` every N steps
+(reference ``main.py:~150-160``): atomic writes, ``max_to_keep`` retention,
+auto-resume-from-latest, optimizer/PRNG/step restored exactly, and
+multi-host-aware saves (Orbax coordinates across processes).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from pwcnet_tpu.train.state import TrainState
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 5,
+                 save_interval_steps: int = 1):
+        self._dir = os.path.abspath(directory)
+        os.makedirs(self._dir, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self._dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep,
+                save_interval_steps=save_interval_steps,
+                create=True,
+            ),
+        )
+
+    def save(self, state: TrainState, *, force: bool = False) -> bool:
+        step = int(jax.device_get(state.step))
+        saved = self._mgr.save(
+            step, args=ocp.args.StandardSave(state), force=force)
+        return bool(saved)
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    @property
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, template: TrainState,
+                step: Optional[int] = None) -> TrainState:
+        """Restore into the (possibly abstract/sharded) ``template`` pytree."""
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self._dir}")
+        return self._mgr.restore(
+            step, args=ocp.args.StandardRestore(template))
+
+    def restore_latest_or(self, state: TrainState) -> TrainState:
+        """Auto-resume: restore the latest checkpoint if one exists, else
+        return ``state`` unchanged (fresh start)."""
+        if self._mgr.latest_step() is None:
+            return state
+        return self.restore(state)
+
+    def close(self) -> None:
+        self._mgr.close()

@@ -1,0 +1,67 @@
+"""Evaluation: dataset EPE (masked for KITTI) and single-pair inference.
+
+Parity with the reference's val-EPE block (``main.py:~160-185``) and
+``predict.py`` inference path (SURVEY.md §3.4/§3.5): pad to /64-divisible,
+forward, upsample finest flow to full res, undo the supervision scale.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pwcnet_tpu.data.base import FlowDataset
+from pwcnet_tpu.data.pipeline import eval_batches
+from pwcnet_tpu.models import PWCNet
+from pwcnet_tpu.train.step import make_eval_step
+
+
+def pad_to_divisible(img: np.ndarray, div: int = 64
+                     ) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """Zero-pad (bottom/right) H, W to multiples of ``div``; returns the
+    padded array and the original (H, W)."""
+    h, w = img.shape[-3:-1]
+    ph, pw = -(-h // div) * div, -(-w // div) * div
+    if (ph, pw) == (h, w):
+        return img, (h, w)
+    pad = [(0, 0)] * (img.ndim - 3) + [(0, ph - h), (0, pw - w), (0, 0)]
+    return np.pad(img, pad), (h, w)
+
+
+def predict_flow(model: PWCNet, params, im1: np.ndarray, im2: np.ndarray
+                 ) -> np.ndarray:
+    """Single-pair inference: (H, W, 3) images in [0,1] -> (H, W, 2) pixel
+    flow at input resolution."""
+    p1, (h, w) = pad_to_divisible(im1[None])
+    p2, _ = pad_to_divisible(im2[None])
+
+    @jax.jit
+    def fwd(params, a, b):
+        flows = model.apply(params, a, b, train=False)
+        return model.full_res_flow(flows, a.shape[1:3])
+
+    full = fwd(params, jnp.asarray(p1), jnp.asarray(p2))
+    return np.asarray(full[0, :h, :w])
+
+
+def evaluate_dataset(model: PWCNet, params, dataset: FlowDataset,
+                     batch: int = 4, mesh=None,
+                     pad_to: Optional[Tuple[int, int]] = None,
+                     limit: Optional[int] = None) -> Dict[str, float]:
+    """Mean EPE over a dataset (validity-masked; padding is masked too)."""
+    step = make_eval_step(model, mesh=mesh)
+    num = 0.0
+    den = 0.0
+    from pwcnet_tpu.parallel import shard_batch
+    for b in eval_batches(dataset, batch, pad_to=pad_to, limit=limit):
+        if mesh is not None:
+            b = shard_batch(mesh, b)
+        else:
+            b = jax.device_put(b)
+        s, c = step(params, b)
+        num += float(s)
+        den += float(c)
+    return {"epe": num / max(den, 1.0), "num_valid_px": den}

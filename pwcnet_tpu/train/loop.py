@@ -1,0 +1,162 @@
+"""The training driver: wiring data, model, step, eval, checkpoints,
+metrics (the reference's ``main.py:~90-200`` train loop, SURVEY.md §3.1 —
+rebuilt around jit/sharding/Orbax).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pwcnet_tpu.config import Config
+from pwcnet_tpu.data.base import get_dataset
+from pwcnet_tpu.data.pipeline import Loader
+from pwcnet_tpu.models import PWCNet
+from pwcnet_tpu.parallel import (
+    MeshConfig,
+    initialize_distributed,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+from pwcnet_tpu.train.checkpoint import CheckpointManager
+from pwcnet_tpu.train.evaluate import evaluate_dataset
+from pwcnet_tpu.train.metrics import MetricsWriter
+from pwcnet_tpu.train.schedule import make_lr_schedule, make_optimizer
+from pwcnet_tpu.train.state import TrainState
+from pwcnet_tpu.train.step import make_train_step
+from pwcnet_tpu.io import flow_to_rgb
+
+
+def build_model(cfg: Config) -> PWCNet:
+    m = cfg.model
+    return PWCNet(
+        num_levels=m.num_levels,
+        output_level=m.output_level,
+        search_range=m.search_range,
+        residual=m.residual,
+        use_norm=m.use_norm,
+        input_norm=m.input_norm,
+        corr_backend=m.corr_backend,
+        flow_scale=m.flow_scale,
+        dtype=jnp.bfloat16 if m.dtype == "bfloat16" else jnp.float32,
+    )
+
+
+def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
+    """Run training per config; returns final metrics dict."""
+    p = cfg.parallel
+    initialize_distributed(p.coordinator, p.num_processes, p.process_id)
+    mesh = make_mesh(MeshConfig(data=p.data, spatial=p.spatial,
+                                model=p.model))
+
+    model = build_model(cfg)
+    tx = make_optimizer(cfg.train.schedule, cfg.train.weight_decay,
+                        cfg.train.grad_clip)
+    lr_sched = make_lr_schedule(cfg.train.schedule)
+
+    # --- datasets ---
+    train_ds = get_dataset(cfg.data.name, cfg.data.root, split="train")
+    try:
+        val_ds = get_dataset(cfg.data.name, cfg.data.root, split="val")
+    except (FileNotFoundError, ValueError):
+        val_ds = None
+
+    # --- init state (replicated over the mesh) ---
+    crop = cfg.data.augment.crop_hw
+    dummy = jnp.zeros((1, crop[0], crop[1], 3), jnp.float32)
+    rep = replicated(mesh)
+
+    @jax.jit
+    def init_params(key):
+        return model.init(key, dummy, dummy)
+
+    key = jax.random.key(cfg.train.seed)
+    params = jax.device_put(init_params(key), rep)
+    state = TrainState.create(params, tx, jax.random.fold_in(key, 1))
+    state = jax.device_put(state, rep)
+
+    ckpt = CheckpointManager(cfg.train.log_dir + "/ckpt",
+                             max_to_keep=cfg.train.max_to_keep)
+    if cfg.train.init_from:
+        warm = CheckpointManager(cfg.train.init_from)
+        restored = warm.restore(jax.device_get(state))
+        state = jax.device_put(
+            state.replace(params=restored.params), rep)
+        warm.close()
+    if cfg.train.resume and ckpt.latest_step is not None:
+        # Only pay the device->host round trip of the template when there is
+        # actually a checkpoint to restore (it is ~60 MB of params+moments,
+        # and very expensive through a remote-TPU tunnel).
+        state = ckpt.restore_latest_or(jax.device_get(state))
+        state = jax.device_put(state, rep)
+    start_step = int(jax.device_get(state.step))
+
+    step_fn = make_train_step(model, tx, aug=cfg.data.augment,
+                              loss_kind=cfg.train.loss, mesh=mesh)
+
+    loader = Loader(
+        train_ds, cfg.train.global_batch,
+        sample_hw=cfg.data.sample_hw, seed=cfg.train.seed,
+        num_threads=cfg.data.num_threads, start_step=start_step,
+        process_index=jax.process_index(),
+        process_count=jax.process_count())
+
+    writer = MetricsWriter(cfg.train.log_dir)
+    total = cfg.train.schedule.total_steps
+    if max_steps is not None:
+        total = min(total, start_step + max_steps)
+
+    if cfg.train.profile_dir and jax.process_index() == 0:
+        jax.profiler.start_trace(cfg.train.profile_dir)
+
+    t_last = time.time()
+    pairs_since = 0
+    final_metrics: dict = {}
+    step = start_step
+    try:
+        for batch in loader:
+            if step >= total:
+                break
+            gbatch = shard_batch(mesh, batch)
+            state, metrics = step_fn(state, gbatch)
+            step += 1
+            pairs_since += cfg.train.global_batch
+
+            if step % cfg.train.summary_interval == 0 or step == total:
+                metrics = {k: float(jax.device_get(v))
+                           for k, v in metrics.items()}
+                dt = time.time() - t_last
+                n_dev = max(jax.device_count(), 1)
+                metrics.update(
+                    lr=float(lr_sched(step)),
+                    pairs_per_sec=pairs_since / dt,
+                    pairs_per_sec_per_chip=pairs_since / dt / n_dev,
+                )
+                writer.scalars(step, metrics)
+                final_metrics = metrics
+                t_last = time.time()
+                pairs_since = 0
+
+            if val_ds is not None and step % cfg.train.eval_interval == 0:
+                ev = evaluate_dataset(model, state.params, val_ds,
+                                      batch=cfg.data.eval_batch, mesh=mesh,
+                                      limit=cfg.train.eval_limit)
+                writer.scalars(step, {"val_epe": ev["epe"]})
+                final_metrics["val_epe"] = ev["epe"]
+
+            if step % cfg.train.checkpoint_interval == 0 or step == total:
+                ckpt.save(jax.device_get(state))
+    finally:
+        loader.close()
+        if cfg.train.profile_dir and jax.process_index() == 0:
+            jax.profiler.stop_trace()
+        ckpt.wait()
+        ckpt.close()
+        writer.close()
+    final_metrics["step"] = step
+    return final_metrics

@@ -1,0 +1,126 @@
+"""The jitted train/eval steps — one XLA computation each.
+
+Distribution model (SURVEY.md §2b): with a mesh, the step body runs under
+``jax.shard_map`` so every op (including the Pallas correlation kernel,
+which XLA cannot auto-partition) is shard-local; gradients and metrics are
+explicitly ``pmean``/``psum``-ed over the ``data`` axis (the ICI all-reduce),
+and the optimizer update is computed identically on every device, keeping
+params/opt-state replicated. Single-device falls back to plain ``jit``.
+
+Augmentation runs inside the step (on device); state buffers are donated.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+
+from pwcnet_tpu.data.augment import AugmentConfig, augment_batch
+from pwcnet_tpu.losses import epe, multiscale_loss, robust_loss
+from pwcnet_tpu.models import PWCNet
+from pwcnet_tpu.parallel import DATA_AXIS
+from pwcnet_tpu.train.state import TrainState
+
+
+def make_train_step(model: PWCNet, tx: optax.GradientTransformation,
+                    aug: Optional[AugmentConfig] = None,
+                    loss_kind: str = "multiscale",
+                    mesh=None) -> Callable[[TrainState, Dict[str, Any]],
+                                           tuple]:
+    """Build the jitted train step.
+
+    batch: dict of f32 arrays — im1, im2 (N,H,W,3), flow (N,H,W,2),
+    valid (N,H,W); N is the global batch (sharded over ``data`` when a mesh
+    is given). Returns (new_state, metrics).
+    """
+    loss_fn_inner = multiscale_loss if loss_kind == "multiscale" else robust_loss
+    distributed = mesh is not None
+
+    def local_step(state: TrainState, batch: Dict[str, Any]):
+        rng, aug_key = jax.random.split(state.rng)
+        if distributed:
+            # Distinct augmentation randomness per data shard.
+            aug_key = jax.random.fold_in(
+                aug_key, jax.lax.axis_index(DATA_AXIS))
+        if aug is not None:
+            batch = augment_batch(batch, aug_key, aug)
+
+        def loss_fn(params):
+            flows = model.apply(params, batch["im1"], batch["im2"])
+            loss = loss_fn_inner(flows, batch["flow"], batch["valid"],
+                                 flow_scale=model.flow_scale)
+            return loss, flows
+
+        (loss, flows), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        if distributed:
+            # The ICI gradient all-reduce (GSPMD-free, explicit).
+            grads = jax.lax.pmean(grads, DATA_AXIS)
+            loss = jax.lax.pmean(loss, DATA_AXIS)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state, rng=rng)
+
+        # Train-time EPE proxy: finest level vs downsampled GT, rescaled to
+        # full-res pixels (cheap; exact full-res EPE lives in evaluate.py).
+        finest = flows[-1]
+        n = finest.shape[0]
+        gt_small = jax.image.resize(
+            batch["flow"], (n,) + finest.shape[1:3] + (2,), "bilinear")
+        v_small = jax.image.resize(
+            batch["valid"], (n,) + finest.shape[1:3], "bilinear")
+        train_epe = epe(finest * model.flow_scale, gt_small,
+                        (v_small >= 0.999).astype(jnp.float32))
+        grad_norm = optax.global_norm(grads)
+        if distributed:
+            train_epe = jax.lax.pmean(train_epe, DATA_AXIS)
+        metrics = {"loss": loss, "train_epe": train_epe,
+                   "grad_norm": grad_norm}
+        return new_state, metrics
+
+    if not distributed:
+        return jax.jit(local_step, donate_argnums=(0,))
+
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def make_eval_step(model: PWCNet, mesh=None) -> Callable:
+    """Jitted eval: forward + full-res EPE sums on an (already padded) batch.
+
+    Returns (sum_epe, num_valid) so callers average over a dataset exactly;
+    with a mesh the sums are psum-ed over the data axis.
+    """
+
+    def local_step(params, batch):
+        flows = model.apply(params, batch["im1"], batch["im2"], train=False)
+        hw = batch["im1"].shape[1:3]
+        full = model.full_res_flow(flows, hw)
+        diff = full - batch["flow"]
+        dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-16)
+        v = batch["valid"]
+        s, c = jnp.sum(dist * v), jnp.sum(v)
+        if mesh is not None:
+            s = jax.lax.psum(s, DATA_AXIS)
+            c = jax.lax.psum(c, DATA_AXIS)
+        return s, c
+
+    if mesh is None:
+        return jax.jit(local_step)
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

@@ -1,0 +1,151 @@
+"""Dataset readers, host pipeline, and on-device augmentation tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pwcnet_tpu.data import (
+    AugmentConfig,
+    Loader,
+    augment_batch,
+    available_datasets,
+    eval_batches,
+    get_dataset,
+)
+from pwcnet_tpu.data.pipeline import _fit_to_shape
+
+
+def test_registry():
+    assert {"flyingchairs", "flyingthings", "sintel", "kitti"} <= set(
+        available_datasets())
+    with pytest.raises(ValueError, match="unknown dataset"):
+        get_dataset("nope", "/tmp")
+
+
+def test_flyingchairs_reader(chairs_dir):
+    ds = get_dataset("flyingchairs", chairs_dir, split="all")
+    assert len(ds) == 6
+    s = ds[0]
+    assert s["im1"].shape == (64, 96, 3)
+    assert s["im1"].dtype == np.float32
+    assert 0.0 <= s["im1"].min() and s["im1"].max() <= 1.0
+    assert s["flow"].shape == (64, 96, 2)
+    assert s["valid"].shape == (64, 96)
+    assert (s["valid"] == 1.0).all()
+    # train/val split partitions the records
+    tr = get_dataset("flyingchairs", chairs_dir, split="train")
+    va = get_dataset("flyingchairs", chairs_dir, split="val")
+    assert len(tr) + len(va) == 6 and len(va) >= 1
+
+
+def test_fit_to_shape_pad_and_crop(rng):
+    s = {"im1": rng.random((10, 12, 3)).astype(np.float32),
+         "im2": rng.random((10, 12, 3)).astype(np.float32),
+         "flow": rng.random((10, 12, 2)).astype(np.float32),
+         "valid": np.ones((10, 12), np.float32)}
+    padded = _fit_to_shape(dict(s), (16, 16))
+    assert padded["im1"].shape == (16, 16, 3)
+    assert padded["valid"][:10, :12].all()
+    assert not padded["valid"][10:].any()
+    assert not padded["valid"][:, 12:].any()
+    cropped = _fit_to_shape(dict(s), (8, 8))
+    assert cropped["im1"].shape == (8, 8, 3)
+    assert cropped["valid"].all()
+
+
+def test_loader_deterministic_and_resumable(chairs_dir):
+    ds = get_dataset("flyingchairs", chairs_dir, split="all")
+    def collect(start, n):
+        ld = Loader(ds, global_batch=2, sample_hw=(64, 96), seed=7,
+                    start_step=start)
+        out = [next(ld) for _ in range(n)]
+        ld.close()
+        return out
+
+    a = collect(0, 4)
+    b = collect(0, 4)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x["im1"], y["im1"])
+    # Resume from step 2 reproduces the tail of the stream.
+    c = collect(2, 2)
+    for x, y in zip(a[2:], c):
+        np.testing.assert_array_equal(x["im1"], y["im1"])
+    assert a[0]["im1"].shape == (2, 64, 96, 3)
+
+
+def test_loader_multihost_sharding(chairs_dir):
+    ds = get_dataset("flyingchairs", chairs_dir, split="all")
+    def host(rank):
+        ld = Loader(ds, global_batch=4, sample_hw=(64, 96), seed=3,
+                    process_index=rank, process_count=2)
+        b = next(ld)
+        ld.close()
+        return b
+    b0, b1 = host(0), host(1)
+    assert b0["im1"].shape[0] == 2
+    # Hosts see disjoint halves of the same global batch.
+    assert not np.array_equal(b0["im1"], b1["im1"])
+
+
+def test_eval_batches_pads_and_masks(chairs_dir):
+    ds = get_dataset("flyingchairs", chairs_dir, split="all")
+    batches = list(eval_batches(ds, batch=4))
+    assert sum(b["im1"].shape[0] for b in batches) == 8  # 6 -> 2 dup-padded
+    b = batches[0]
+    assert b["im1"].shape == (4, 64, 128, 3)  # /64-divisible padding
+    assert not b["valid"][:, :, 96:].any()
+    last = batches[-1]
+    assert not last["valid"][2:].any()  # duplicate fill rows are invalid
+
+
+def test_augment_shapes_and_flip_semantics(rng):
+    n, h, w = 4, 32, 48
+    batch = {
+        "im1": jnp.asarray(rng.random((n, h, w, 3)), jnp.float32),
+        "im2": jnp.asarray(rng.random((n, h, w, 3)), jnp.float32),
+        "flow": jnp.asarray(rng.standard_normal((n, h, w, 2)), jnp.float32),
+        "valid": jnp.ones((n, h, w), jnp.float32),
+    }
+    cfg = AugmentConfig(crop_hw=(16, 24), photometric=False,
+                        hflip_prob=1.0, vflip_prob=0.0)
+    out = jax.jit(lambda b, k: augment_batch(b, k, cfg))(
+        batch, jax.random.key(0))
+    assert out["im1"].shape == (n, 16, 24, 3)
+    assert out["flow"].shape == (n, 16, 24, 2)
+    # hflip with prob 1: re-flipping the image recovers a crop of im1,
+    # and u-component sign is flipped. Check statistically via a fixed crop:
+    cfg0 = AugmentConfig(crop_hw=(32, 48), photometric=False,
+                         hflip_prob=1.0, vflip_prob=0.0)
+    out0 = augment_batch(batch, jax.random.key(1), cfg0)
+    np.testing.assert_allclose(
+        np.asarray(out0["im1"]), np.asarray(jnp.flip(batch["im1"], 2)),
+        atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out0["flow"][..., 0]),
+        -np.asarray(jnp.flip(batch["flow"][..., 0], 2)), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out0["flow"][..., 1]),
+        np.asarray(jnp.flip(batch["flow"][..., 1], 2)), atol=1e-6)
+
+
+def test_augment_photometric_images_only(rng):
+    n, h, w = 2, 24, 24
+    batch = {
+        "im1": jnp.asarray(rng.random((n, h, w, 3)), jnp.float32),
+        "im2": jnp.asarray(rng.random((n, h, w, 3)), jnp.float32),
+        "flow": jnp.asarray(rng.standard_normal((n, h, w, 2)), jnp.float32),
+        "valid": jnp.ones((n, h, w), jnp.float32),
+    }
+    cfg = AugmentConfig(crop_hw=(24, 24), photometric=True,
+                        hflip_prob=0.0, vflip_prob=0.0)
+    out = augment_batch(batch, jax.random.key(2), cfg)
+    # Flow untouched; images changed and stay in [0, 1].
+    np.testing.assert_array_equal(np.asarray(out["flow"]),
+                                  np.asarray(batch["flow"]))
+    assert float(jnp.abs(out["im1"] - batch["im1"]).max()) > 1e-4
+    assert 0.0 <= float(out["im1"].min()) and float(out["im1"].max()) <= 1.0
+    # Deterministic in the key.
+    out2 = augment_batch(batch, jax.random.key(2), cfg)
+    np.testing.assert_array_equal(np.asarray(out["im1"]),
+                                  np.asarray(out2["im1"]))
