@@ -68,6 +68,7 @@ class Loader:
         self.rank = process_index
         self.step = start_step
         self._steps_per_epoch = max(len(dataset) // global_batch, 1)
+        self._num_threads = num_threads
         self._q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._producer, daemon=True)
@@ -84,8 +85,31 @@ class Loader:
         lo = self.rank * self.local_batch
         return g[lo:lo + self.local_batch]
 
+    def _native_batch(self, idxs: np.ndarray
+                      ) -> Optional[Dict[str, np.ndarray]]:
+        """Fast path: threaded C++ decode for .ppm/.ppm/.flo records
+        (pwcnet_tpu/native); None when inapplicable or unavailable."""
+        recs = getattr(self.dataset, "records", None)
+        if recs is None:
+            return None
+        batch = [recs[int(i)] for i in idxs]
+        if not all(r.im1.endswith(".ppm") and r.im2.endswith(".ppm")
+                   and r.flow.endswith(".flo") for r in batch):
+            return None
+        from pwcnet_tpu import native
+
+        if not native.available():
+            return None
+        return native.decode_batch(
+            [r.im1 for r in batch], [r.im2 for r in batch],
+            [r.flow for r in batch], self.sample_hw,
+            num_threads=self._num_threads)
+
     def _load_batch(self, step: int) -> Dict[str, np.ndarray]:
         idxs = self._indices_for_step(step)
+        nb = self._native_batch(idxs)
+        if nb is not None:
+            return nb
         samples = [None] * len(idxs)
 
         def work(j, i):

@@ -11,3 +11,8 @@ from pwcnet_tpu.parallel.mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
+from pwcnet_tpu.parallel.spatial import (  # noqa: F401
+    pad_for_spatial,
+    spatial_forward,
+    spatial_image_sharding,
+)

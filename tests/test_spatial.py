@@ -1,0 +1,70 @@
+"""Spatial (H) sharding: GSPMD forward equals the unsharded forward."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pwcnet_tpu.models import PWCNet
+from pwcnet_tpu.parallel import MeshConfig, make_mesh
+from pwcnet_tpu.parallel.spatial import (
+    pad_for_spatial,
+    required_divisor,
+    spatial_forward,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = PWCNet(num_levels=3, output_level=2, search_range=2,
+                   corr_backend="lax")
+    rng = np.random.default_rng(0)
+    h, w = 64, 48  # divisible by 2**3 * 4 shards
+    im1 = jnp.asarray(rng.random((1, h, w, 3)), jnp.float32)
+    im2 = jnp.asarray(rng.random((1, h, w, 3)), jnp.float32)
+    params = jax.jit(model.init)(jax.random.key(0), im1, im2)
+    return model, params, im1, im2
+
+
+def test_matches_unsharded(setup):
+    model, params, im1, im2 = setup
+    mesh = make_mesh(MeshConfig(data=1, spatial=4))
+    flows_sh, full_sh = spatial_forward(model, params, mesh, im1, im2)
+    flows = jax.jit(model.apply)(params, im1, im2, train=False)
+    full = model.full_res_flow(flows, im1.shape[1:3])
+    for a, b in zip(flows_sh, flows):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(full_sh), np.asarray(full),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_divisibility_check(setup):
+    model, params, im1, im2 = setup
+    mesh = make_mesh(MeshConfig(data=1, spatial=4))
+    bad = jnp.zeros((1, 40, 48, 3))
+    with pytest.raises(ValueError, match="divisible"):
+        spatial_forward(model, params, mesh, bad, bad)
+
+
+def test_pad_for_spatial(setup):
+    model, *_ = setup
+    mesh = make_mesh(MeshConfig(data=1, spatial=2))
+    assert required_divisor(model, mesh) == 16
+    img = np.zeros((1, 30, 20, 3), np.float32)
+    padded, (h, w) = pad_for_spatial(img, model, mesh)
+    assert (h, w) == (30, 20)
+    assert padded.shape == (1, 32, 24, 3)
+
+
+def test_pallas_backend_silently_switched(setup):
+    """spatial_forward must swap to the lax backend (GSPMD can't partition
+    a Pallas custom call)."""
+    model, params, im1, im2 = setup
+    model_p = PWCNet(num_levels=3, output_level=2, search_range=2,
+                     corr_backend="pallas")
+    mesh = make_mesh(MeshConfig(data=1, spatial=2))
+    flows_sh, _ = spatial_forward(model_p, params, mesh, im1, im2)
+    flows = jax.jit(model.apply)(params, im1, im2, train=False)
+    np.testing.assert_allclose(np.asarray(flows_sh[-1]),
+                               np.asarray(flows[-1]), rtol=1e-4, atol=1e-5)
