@@ -33,6 +33,9 @@ from pwcnet_tpu.train.schedule import S_FINE, S_LONG, ScheduleConfig
 
 @dataclass(frozen=True)
 class ModelConfig:
+    family: str = "pwcnet"            # pwcnet | raft
+    raft_iters: int = 12
+    raft_radius: int = 4
     num_levels: int = 6
     output_level: int = 4
     search_range: int = 4
@@ -120,6 +123,11 @@ PRESETS = {
         data=DataConfig(name="sintel", root="/data/Sintel",
                         sample_hw=(448, 1024)),
         train=TrainConfig(log_dir="runs/sintel-eval"),
+    ),
+    "raft-chairs": Config(  # stretch: RAFT-style iterative head
+        model=ModelConfig(family="raft"),
+        train=TrainConfig(global_batch=8, loss="sequence",
+                          log_dir="runs/raft-chairs"),
     ),
     "kitti-multihost": Config(
         data=DataConfig(name="kitti", root="/data/KITTI2015",

@@ -25,6 +25,16 @@ import jax.numpy as jnp
 LEVEL_WEIGHTS: Tuple[float, ...] = (0.32, 0.08, 0.02, 0.01, 0.005)
 
 
+def _weights_for(flows: List[jax.Array],
+                 weights: Sequence[float]) -> Sequence[float]:
+    """Match the weight list to the number of predicted levels: extra fine
+    levels reuse the finest weight (never silently drop a level)."""
+    n = len(flows)
+    if len(weights) >= n:
+        return weights[:n]
+    return tuple(weights) + (weights[-1],) * (n - len(weights))
+
+
 def downsample_gt(gt: jax.Array, hw: Tuple[int, int],
                   flow_scale: float = 20.0,
                   valid: jax.Array | None = None
@@ -59,7 +69,7 @@ def multiscale_loss(flows: List[jax.Array], gt: jax.Array,
                     flow_scale: float = 20.0) -> jax.Array:
     """Paper training loss over the coarsest-first per-level flow list."""
     total = jnp.float32(0.0)
-    for flow_l, w in zip(flows, weights):
+    for flow_l, w in zip(flows, _weights_for(flows, weights)):
         gt_l, v_l = downsample_gt(gt, flow_l.shape[1:3], flow_scale, valid)
         diff = flow_l.astype(jnp.float32) - gt_l
         # Per-pixel L2 norm of the 2-vector error.
@@ -75,7 +85,7 @@ def robust_loss(flows: List[jax.Array], gt: jax.Array,
                 eps: float = 0.01, q: float = 0.4) -> jax.Array:
     """Fine-tuning loss: (|Delta|_1 + eps)^q per pixel (paper S_fine)."""
     total = jnp.float32(0.0)
-    for flow_l, w in zip(flows, weights):
+    for flow_l, w in zip(flows, _weights_for(flows, weights)):
         gt_l, v_l = downsample_gt(gt, flow_l.shape[1:3], flow_scale, valid)
         diff = jnp.abs(flow_l.astype(jnp.float32) - gt_l).sum(-1)
         total = total + w * _masked_pixel_sum((diff + eps) ** q, v_l)
@@ -94,3 +104,33 @@ def epe(pred: jax.Array, gt: jax.Array,
         return jnp.mean(dist)
     v = valid.astype(jnp.float32)
     return jnp.sum(dist * v) / jnp.maximum(jnp.sum(v), 1.0)
+
+
+def sequence_loss(flows: List[jax.Array], gt: jax.Array,
+                  valid: jax.Array | None = None,
+                  gamma: float = 0.8,
+                  max_flow: float = 400.0) -> jax.Array:
+    """RAFT's exponentially-weighted sequence loss (Teed & Deng 2020).
+
+    ``flows``: per-iteration predictions at 1/8 resolution (pixels at that
+    resolution); each is upsampled to the GT resolution (with magnitude
+    rescale) and compared with L1. Weight gamma^(N-1-i) emphasizes later
+    iterations. Pixels with |gt| > max_flow are excluded (standard RAFT
+    practice).
+    """
+    n_iters = len(flows)
+    hw = gt.shape[1:3]
+    mag = jnp.sqrt(jnp.sum(gt.astype(jnp.float32) ** 2, axis=-1))
+    v = (mag < max_flow).astype(jnp.float32)
+    if valid is not None:
+        v = v * valid.astype(jnp.float32)
+    total = jnp.float32(0.0)
+    for i, flow in enumerate(flows):
+        scale = hw[0] / flow.shape[1]
+        up = jax.image.resize(
+            flow.astype(jnp.float32),
+            (flow.shape[0], hw[0], hw[1], 2), "bilinear") * scale
+        l1 = jnp.sum(jnp.abs(up - gt.astype(jnp.float32)), axis=-1)
+        w = gamma ** (n_iters - 1 - i)
+        total = total + w * jnp.sum(l1 * v) / jnp.maximum(jnp.sum(v), 1.0)
+    return total

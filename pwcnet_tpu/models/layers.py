@@ -39,9 +39,14 @@ class ConvBlock(nn.Module):
             param_dtype=jnp.float32,
         )(x)
         if self.use_norm:
-            x = nn.BatchNorm(
-                use_running_average=not train, dtype=jnp.float32
-            )(x.astype(jnp.float32)).astype(self.dtype)
+            # The reference's --batch_norm uses torch BatchNorm2d; we use
+            # GroupNorm instead: stateless (no running-stats mutable
+            # collection threading through jit/shard_map), batch-size
+            # independent, and TPU-friendly. Capability-equivalent
+            # normalized training; documented divergence.
+            groups = next(g for g in (8, 4, 2, 1) if self.features % g == 0)
+            x = nn.GroupNorm(num_groups=groups, dtype=jnp.float32)(
+                x.astype(jnp.float32)).astype(self.dtype)
         return leaky_relu(x)
 
 

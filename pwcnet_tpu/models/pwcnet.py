@@ -32,8 +32,9 @@ from pwcnet_tpu.ops.cost_volume import cost_volume
 from pwcnet_tpu.ops.warp import warp_bilinear
 
 # Reference channel plan (reference modules.py FeaturePyramidExtractor):
-# level l (1-indexed, 1/2^l resolution) -> channels.
-DEFAULT_PYRAMID_CHANNELS: Tuple[int, ...] = (16, 32, 64, 96, 128, 196)
+# level l (1-indexed, 1/2^l resolution) -> channels. A 7th level (224) is
+# provided for the reference's --num_levels=7 option.
+DEFAULT_PYRAMID_CHANNELS: Tuple[int, ...] = (16, 32, 64, 96, 128, 196, 224)
 # Estimator conv stack (reference modules.py OpticalFlowEstimator).
 ESTIMATOR_CHANNELS: Tuple[int, ...] = (128, 128, 96, 64, 32)
 # Context network (channels, dilation) pairs (reference modules.py

@@ -1,0 +1,201 @@
+"""RAFT-style iterative refinement head (BASELINE.json stretch config 4).
+
+A TPU-first take on RAFT (Teed & Deng, ECCV 2020): instead of
+materializing the O((HW)^2) all-pairs correlation volume and gathering
+windows from it, each iteration warps the frame-2 features by the current
+flow estimate and computes a *local* correlation — mathematically the same
+lookup values, computed on the fly (the memory-efficient formulation) and
+**sharing the Pallas cost-volume kernel** with PWC-Net
+(``pwcnet_tpu/ops/pallas/cost_volume_kernel.py``). Two correlation scales
+(1/8 and 1/16 features) stand in for RAFT's 4-level lookup pyramid.
+
+The recurrent update (context encoder, separable ConvGRU, flow head) runs
+under ``lax.scan`` — weights shared across iterations, compiled once,
+TPU-friendly static iteration count.
+
+Flow convention: RAFT flows are in pixels at 1/8 resolution; the model
+returns one flow per iteration (for the exponentially-weighted sequence
+loss, ``pwcnet_tpu.losses.sequence_loss``) plus ``full_res_flow`` which
+upsamples x8 and rescales to input-resolution pixels.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pwcnet_tpu.models.layers import leaky_relu
+from pwcnet_tpu.models.pwcnet import resize_to
+from pwcnet_tpu.ops.cost_volume import cost_volume
+from pwcnet_tpu.ops.warp import warp_bilinear
+
+
+class ResBlock(nn.Module):
+    features: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
+                    padding="SAME", dtype=self.dtype)(x)
+        y = leaky_relu(y)
+        y = nn.Conv(self.features, (3, 3), padding="SAME",
+                    dtype=self.dtype)(y)
+        if x.shape[-1] != self.features or self.stride != 1:
+            x = nn.Conv(self.features, (1, 1), strides=(self.stride,) * 2,
+                        dtype=self.dtype)(x)
+        return leaky_relu(x + y)
+
+
+class RAFTEncoder(nn.Module):
+    """Residual encoder to 1/8 resolution, ``dim`` channels."""
+
+    dim: int = 128
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(32, (7, 7), strides=(2, 2), padding="SAME",
+                    dtype=self.dtype)(x)  # 1/2
+        x = leaky_relu(x)
+        x = ResBlock(48, stride=2, dtype=self.dtype)(x)   # 1/4
+        x = ResBlock(self.dim, stride=2, dtype=self.dtype)(x)  # 1/8
+        x = ResBlock(self.dim, dtype=self.dtype)(x)
+        return nn.Conv(self.dim, (1, 1), dtype=self.dtype)(x)
+
+
+class SepConvGRU(nn.Module):
+    """RAFT's separable ConvGRU: a 1x5 pass then a 5x1 pass."""
+
+    hidden: int = 96
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, x):
+        for ks in [(1, 5), (5, 1)]:
+            hx = jnp.concatenate([h, x], axis=-1)
+            z = nn.sigmoid(nn.Conv(self.hidden, ks, padding="SAME",
+                                   dtype=self.dtype)(hx))
+            r = nn.sigmoid(nn.Conv(self.hidden, ks, padding="SAME",
+                                   dtype=self.dtype)(hx))
+            q = nn.tanh(nn.Conv(self.hidden, ks, padding="SAME",
+                                dtype=self.dtype)(
+                jnp.concatenate([r * h, x], axis=-1)))
+            h = (1 - z) * h + z * q
+        return h
+
+
+class MotionEncoder(nn.Module):
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, corr, flow):
+        c = leaky_relu(nn.Conv(96, (1, 1), dtype=self.dtype)(corr))
+        c = leaky_relu(nn.Conv(64, (3, 3), padding="SAME",
+                               dtype=self.dtype)(c))
+        f = leaky_relu(nn.Conv(64, (7, 7), padding="SAME",
+                               dtype=self.dtype)(flow.astype(self.dtype)))
+        f = leaky_relu(nn.Conv(32, (3, 3), padding="SAME",
+                               dtype=self.dtype)(f))
+        out = jnp.concatenate([c, f], axis=-1)
+        out = leaky_relu(nn.Conv(94, (3, 3), padding="SAME",
+                                 dtype=self.dtype)(out))
+        return jnp.concatenate([out, flow.astype(self.dtype)], axis=-1)
+
+
+class RAFT(nn.Module):
+    """Iterative two-scale local-correlation RAFT head.
+
+    Attributes:
+      num_iters: GRU refinement iterations (12 default; inference can pass
+        ``num_iters`` to ``apply`` via module rebinding).
+      corr_radius: local correlation max displacement at each scale.
+      corr_backend: 'pallas' | 'lax' — shared with PWC-Net.
+    """
+
+    num_iters: int = 12
+    corr_radius: int = 4
+    feat_dim: int = 128
+    hidden: int = 96
+    context: int = 64
+    corr_backend: str = "lax"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, im1: jax.Array, im2: jax.Array, *,
+                 train: bool = True) -> List[jax.Array]:
+        div = 8
+        h, w = im1.shape[1], im1.shape[2]
+        if h % div or w % div:
+            raise ValueError(
+                f"input H, W must be divisible by {div}; got {(h, w)}")
+        im1 = im1.astype(self.dtype)
+        im2 = im2.astype(self.dtype)
+
+        n_im = im1.shape[0]
+        fmap = RAFTEncoder(dim=self.feat_dim, dtype=self.dtype,
+                           name="fnet")(
+            jnp.concatenate([im1, im2], axis=0))
+        f1, f2 = fmap[:n_im], fmap[n_im:]
+        # Half-scale features for the second correlation level.
+        f1h = nn.avg_pool(f1, (2, 2), strides=(2, 2))
+        f2h = nn.avg_pool(f2, (2, 2), strides=(2, 2))
+
+        ctx = RAFTEncoder(dim=self.hidden + self.context, dtype=self.dtype,
+                          name="cnet")(im1)
+        hidden = nn.tanh(ctx[..., :self.hidden].astype(jnp.float32))
+        hidden = hidden.astype(self.dtype)
+        context = leaky_relu(ctx[..., self.hidden:])
+
+        gru = SepConvGRU(hidden=self.hidden, dtype=self.dtype)
+        menc = MotionEncoder(dtype=self.dtype)
+        head_hidden = nn.Conv(128, (3, 3), padding="SAME", dtype=self.dtype,
+                              name="flow_head_1")
+        head_out = nn.Conv(2, (3, 3), padding="SAME", dtype=self.dtype,
+                           name="flow_head_2")
+
+        d = self.corr_radius
+
+        def lookup(flow):
+            """Two-scale local correlation at the current flow estimate
+            (shares the PWC-Net cost-volume kernel)."""
+            w2 = warp_bilinear(f2, flow)
+            c0 = cost_volume(f1, w2, max_displacement=d,
+                             backend=self.corr_backend)
+            w2h = warp_bilinear(f2h, flow[:, ::2, ::2] * 0.5)
+            c1 = cost_volume(f1h, w2h, max_displacement=d,
+                             backend=self.corr_backend)
+            c1_up = jnp.repeat(jnp.repeat(c1, 2, axis=1), 2, axis=2)
+            return leaky_relu(jnp.concatenate([c0, c1_up], axis=-1))
+
+        def step(carry, _):
+            hidden, flow = carry
+            corr = lookup(jax.lax.stop_gradient(flow))
+            m = menc(corr, flow)
+            x = jnp.concatenate([context, m], axis=-1)
+            h_new = gru(hidden, x)
+            delta = head_out(leaky_relu(head_hidden(h_new)))
+            flow = flow + delta.astype(jnp.float32)
+            return (h_new, flow), flow
+
+        flow0 = jnp.zeros(f1.shape[:3] + (2,), jnp.float32)
+        if self.is_initializing():
+            # Run the body once unscanned so every submodule initializes.
+            (_, _), first = step((hidden, flow0), None)
+            return [first]
+        (_, _), flows = jax.lax.scan(
+            step, (hidden, flow0), None, length=self.num_iters)
+        # (iters, N, H/8, W/8, 2) -> list, iteration order.
+        return [flows[i] for i in range(self.num_iters)]
+
+    def full_res_flow(self, flows: List[jax.Array],
+                      hw: Tuple[int, int]) -> jax.Array:
+        """Final iteration -> full-resolution pixel flow (x8 upsample with
+        magnitude rescale)."""
+        flow = flows[-1]
+        scale = hw[0] / flow.shape[1]
+        return resize_to(flow, hw) * scale

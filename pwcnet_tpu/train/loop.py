@@ -32,8 +32,18 @@ from pwcnet_tpu.train.step import make_train_step
 from pwcnet_tpu.io import flow_to_rgb
 
 
-def build_model(cfg: Config) -> PWCNet:
+def build_model(cfg: Config):
     m = cfg.model
+    if m.family == "raft":
+        from pwcnet_tpu.models.raft import RAFT
+        return RAFT(
+            num_iters=m.raft_iters,
+            corr_radius=m.raft_radius,
+            corr_backend=m.corr_backend,
+            dtype=jnp.bfloat16 if m.dtype == "bfloat16" else jnp.float32,
+        )
+    if m.family != "pwcnet":
+        raise ValueError(f"unknown model family {m.family!r}")
     return PWCNet(
         num_levels=m.num_levels,
         output_level=m.output_level,

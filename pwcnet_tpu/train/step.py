@@ -20,24 +20,37 @@ import optax
 from jax.sharding import PartitionSpec as P
 
 from pwcnet_tpu.data.augment import AugmentConfig, augment_batch
-from pwcnet_tpu.losses import epe, multiscale_loss, robust_loss
+from pwcnet_tpu.losses import epe, multiscale_loss, robust_loss, sequence_loss
 from pwcnet_tpu.models import PWCNet
 from pwcnet_tpu.parallel import DATA_AXIS
 from pwcnet_tpu.train.state import TrainState
 
 
-def make_train_step(model: PWCNet, tx: optax.GradientTransformation,
+def _make_loss(loss_kind: str, model) -> Callable:
+    """loss(flows, gt, valid) for the model family / loss kind."""
+    if loss_kind == "multiscale":
+        return lambda flows, gt, v: multiscale_loss(
+            flows, gt, v, flow_scale=model.flow_scale)
+    if loss_kind == "robust":
+        return lambda flows, gt, v: robust_loss(
+            flows, gt, v, flow_scale=model.flow_scale)
+    if loss_kind == "sequence":  # RAFT per-iteration loss
+        return sequence_loss
+    raise ValueError(f"unknown loss kind {loss_kind!r}")
+
+
+def make_train_step(model, tx: optax.GradientTransformation,
                     aug: Optional[AugmentConfig] = None,
                     loss_kind: str = "multiscale",
                     mesh=None) -> Callable[[TrainState, Dict[str, Any]],
                                            tuple]:
-    """Build the jitted train step.
+    """Build the jitted train step (PWCNet or RAFT family).
 
     batch: dict of f32 arrays — im1, im2 (N,H,W,3), flow (N,H,W,2),
     valid (N,H,W); N is the global batch (sharded over ``data`` when a mesh
     is given). Returns (new_state, metrics).
     """
-    loss_fn_inner = multiscale_loss if loss_kind == "multiscale" else robust_loss
+    loss_fn_inner = _make_loss(loss_kind, model)
     distributed = mesh is not None
 
     def local_step(state: TrainState, batch: Dict[str, Any]):
@@ -51,8 +64,7 @@ def make_train_step(model: PWCNet, tx: optax.GradientTransformation,
 
         def loss_fn(params):
             flows = model.apply(params, batch["im1"], batch["im2"])
-            loss = loss_fn_inner(flows, batch["flow"], batch["valid"],
-                                 flow_scale=model.flow_scale)
+            loss = loss_fn_inner(flows, batch["flow"], batch["valid"])
             return loss, flows
 
         (loss, flows), grads = jax.value_and_grad(
@@ -68,13 +80,16 @@ def make_train_step(model: PWCNet, tx: optax.GradientTransformation,
 
         # Train-time EPE proxy: finest level vs downsampled GT, rescaled to
         # full-res pixels (cheap; exact full-res EPE lives in evaluate.py).
+        # PWCNet: scaled units * flow_scale; RAFT: level-res pixels * stride.
         finest = flows[-1]
         n = finest.shape[0]
+        to_px = (model.flow_scale if hasattr(model, "flow_scale")
+                 else batch["im1"].shape[1] / finest.shape[1])
         gt_small = jax.image.resize(
             batch["flow"], (n,) + finest.shape[1:3] + (2,), "bilinear")
         v_small = jax.image.resize(
             batch["valid"], (n,) + finest.shape[1:3], "bilinear")
-        train_epe = epe(finest * model.flow_scale, gt_small,
+        train_epe = epe(finest * to_px, gt_small,
                         (v_small >= 0.999).astype(jnp.float32))
         grad_norm = optax.global_norm(grads)
         if distributed:

@@ -94,3 +94,26 @@ def test_overfit_two_samples(rng):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < 0.5 * losses[0], losses[::8]
+
+
+def test_use_norm_and_seven_levels(rng):
+    model = PWCNet(num_levels=7, output_level=4, use_norm=True,
+                   input_norm=True)
+    im1, im2 = _make_inputs(rng, h=128, w=128)
+    params = jax.jit(model.init)(jax.random.key(0), im1, im2)
+    flows = jax.jit(model.apply)(params, im1, im2)
+    assert len(flows) == 5
+    # finest at level 7-4=3 -> 1/8 resolution
+    assert flows[-1].shape == (1, 16, 16, 2)
+    assert np.isfinite(np.asarray(flows[-1])).all()
+
+
+def test_loss_with_extra_levels(rng):
+    """output_level=5 yields 6 flows; the loss must weight all of them."""
+    from pwcnet_tpu.losses import multiscale_loss
+    gt = jnp.zeros((1, 64, 64, 2), jnp.float32)
+    flows = [jnp.ones((1, 2 ** i, 2 ** i, 2), jnp.float32)
+             for i in range(6)]
+    loss6 = float(multiscale_loss(flows, gt))
+    loss5 = float(multiscale_loss(flows[:5], gt))
+    assert loss6 > loss5  # the 6th level contributes

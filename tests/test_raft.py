@@ -1,0 +1,92 @@
+"""RAFT-style iterative head: shapes, convergence behavior, loss."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from pwcnet_tpu.losses import sequence_loss
+from pwcnet_tpu.models.raft import RAFT
+
+
+def _inputs(rng, n=1, h=64, w=64):
+    im1 = jnp.asarray(rng.random((n, h, w, 3)), jnp.float32)
+    im2 = jnp.asarray(rng.random((n, h, w, 3)), jnp.float32)
+    return im1, im2
+
+
+def test_forward_shapes(rng):
+    model = RAFT(num_iters=4, corr_radius=2)
+    im1, im2 = _inputs(rng, n=2, h=64, w=96)
+    params = jax.jit(model.init)(jax.random.key(0), im1, im2)
+    flows = jax.jit(model.apply)(params, im1, im2)
+    assert len(flows) == 4
+    for f in flows:
+        assert f.shape == (2, 8, 12, 2)
+        assert f.dtype == jnp.float32
+        assert np.isfinite(np.asarray(f)).all()
+    full = model.full_res_flow(flows, (64, 96))
+    assert full.shape == (2, 64, 96, 2)
+
+
+def test_divisibility_check(rng):
+    model = RAFT(num_iters=2)
+    bad = jnp.zeros((1, 60, 60, 3))
+    with pytest.raises(ValueError, match="divisible"):
+        jax.jit(model.init)(jax.random.key(0), bad, bad)
+
+
+def test_sequence_loss_weighting(rng):
+    gt = jnp.zeros((1, 32, 32, 2), jnp.float32)
+    bad = jnp.ones((1, 4, 4, 2), jnp.float32)
+    good = jnp.zeros((1, 4, 4, 2), jnp.float32)
+    # Error on the LAST iteration must cost more than on the first.
+    last_bad = float(sequence_loss([good, bad], gt))
+    first_bad = float(sequence_loss([bad, good], gt))
+    assert last_bad > first_bad
+
+
+def test_sequence_loss_maxflow_mask():
+    gt = jnp.full((1, 8, 8, 2), 500.0, jnp.float32)  # beyond max_flow
+    flows = [jnp.zeros((1, 1, 1, 2), jnp.float32)]
+    assert float(sequence_loss(flows, gt)) == 0.0
+
+
+def test_pallas_backend_matches_lax(rng):
+    im1, im2 = _inputs(rng, h=32, w=32)
+    m_lax = RAFT(num_iters=2, corr_radius=2, corr_backend="lax")
+    m_pal = RAFT(num_iters=2, corr_radius=2, corr_backend="pallas")
+    params = jax.jit(m_lax.init)(jax.random.key(0), im1, im2)
+    f_lax = jax.jit(m_lax.apply)(params, im1, im2)
+    f_pal = jax.jit(m_pal.apply)(params, im1, im2)
+    np.testing.assert_allclose(np.asarray(f_lax[-1]), np.asarray(f_pal[-1]),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_overfit(rng):
+    model = RAFT(num_iters=4, corr_radius=2)
+    im1, im2 = _inputs(rng, h=32, w=32)
+    # RAFT predicts at 1/8 resolution: the target must be smooth to be
+    # representable after x8 upsampling. A constant flow is exactly
+    # representable and must be driven to ~0 loss.
+    gt = jnp.broadcast_to(jnp.asarray([3.0, -2.0]), (1, 32, 32, 2))
+    params = jax.jit(model.init)(jax.random.key(0), im1, im2)
+    opt = optax.adam(1e-3)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state):
+        def loss_fn(p):
+            return sequence_loss(model.apply(p, im1, im2), gt)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, state2 = opt.update(grads, state)
+        return optax.apply_updates(params, upd), state2, loss
+
+    losses = []
+    for _ in range(60):
+        params, state, loss = step(params, state)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.35 * losses[0], losses[::10]

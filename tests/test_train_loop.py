@@ -72,3 +72,16 @@ def test_eval_during_training(chairs_dir, tmp_path):
     cfg = apply_overrides(cfg, ["train.eval_interval=2"])
     m = train(cfg)
     assert "val_epe" in m and np.isfinite(m["val_epe"])
+
+
+@pytest.mark.slow
+def test_raft_family_trains(chairs_dir, tmp_path):
+    cfg = _tiny_cfg(chairs_dir, str(tmp_path / "run_raft"), total_steps=3)
+    from pwcnet_tpu.config import apply_overrides
+    cfg = apply_overrides(cfg, [
+        "model.family=raft", "model.raft_iters=3", "model.raft_radius=2",
+        "train.loss=sequence",
+    ])
+    m = train(cfg)
+    assert m["step"] == 3
+    assert np.isfinite(m["loss"])
