@@ -80,3 +80,12 @@ def test_bf16_path(rng):
     flow = jnp.asarray(rng.standard_normal((1, 8, 8, 2)), jnp.float32)
     out = warp_bilinear(feat, flow)
     assert out.dtype == jnp.bfloat16
+
+
+def test_fast_path_matches_ref_gather(rng):
+    from pwcnet_tpu.ops.warp import warp_bilinear_ref
+    feat = jnp.asarray(rng.standard_normal((2, 9, 13, 5)), jnp.float32)
+    flow = jnp.asarray(rng.standard_normal((2, 9, 13, 2)) * 6, jnp.float32)
+    a = warp_bilinear(feat, flow)
+    b = warp_bilinear_ref(feat, flow)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
