@@ -39,8 +39,18 @@ def _bench(fn, *args, iters=100, warmup=5):
 
 
 def main() -> int:
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # Persistent compile cache (same location as the CLI): first run after
+    # a code change pays remote compiles once; reruns are seconds.
+    cache = os.path.expanduser("~/.cache/pwcnet_tpu/xla")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import optax
     from pwcnet_tpu.models import PWCNet

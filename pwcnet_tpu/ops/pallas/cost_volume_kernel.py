@@ -290,6 +290,10 @@ def cost_volume_pallas(f1: jax.Array, f2: jax.Array, *,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     # Both forward and backward tiles must fit VMEM (training uses both).
+    # NOTE: standalone microbenchmarks suggest lax wins at small widths
+    # (idle lanes), but in the full model routing small levels to lax was
+    # measured 25% SLOWER end-to-end on v5e (398 -> 307 fps at Sintel res)
+    # — scheduling/fusion effects dominate; keep the kernel everywhere.
     fwd_ok = _pick_tile(w, c, side * side, d, f1.dtype.itemsize) is not None
     bwd_ok = _pick_tile(w, side * side + c, c, d, 4) is not None
     if not (fwd_ok and bwd_ok):
