@@ -121,7 +121,28 @@ def _enable_compile_cache() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def _force_platform() -> None:
+    """Honor PWCNET_PLATFORM / PWCNET_CPU_DEVICES.
+
+    In some environments (e.g. the axon remote-TPU image) a site hook pins
+    the JAX platform at interpreter startup and the JAX_PLATFORMS env var
+    is ignored; ``jax.config.update`` still works before backend init.
+    """
+    import os
+
+    platform = os.environ.get("PWCNET_PLATFORM")
+    if not platform:
+        return
+    import jax
+
+    jax.config.update("jax_platforms", platform)
+    n = os.environ.get("PWCNET_CPU_DEVICES")
+    if n:
+        jax.config.update("jax_num_cpu_devices", int(n))
+
+
 def main(argv=None) -> int:
+    _force_platform()
     _enable_compile_cache()
     parser = argparse.ArgumentParser(
         prog="pwcnet", description="TPU-native PWC-Net optical flow")

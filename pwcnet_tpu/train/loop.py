@@ -158,6 +158,23 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
                                       limit=cfg.train.eval_limit)
                 writer.scalars(step, {"val_epe": ev["epe"]})
                 final_metrics["val_epe"] = ev["epe"]
+                # Qualitative flow summaries (reference main.py:~160-185
+                # vis_flow images): prediction vs GT on one val sample.
+                if jax.process_index() == 0:
+                    try:
+                        from pwcnet_tpu.train.evaluate import predict_flow
+                        s0 = val_ds[0]
+                        pred = predict_flow(model, state.params,
+                                            s0["im1"], s0["im2"])
+                        mm = float(np.abs(s0["flow"]).max()) or None
+                        writer.flow_image(step, "val/flow_pred", pred,
+                                          max_mag=mm)
+                        writer.flow_image(step, "val/flow_gt", s0["flow"],
+                                          max_mag=mm)
+                        writer.image(step, "val/im1",
+                                     (s0["im1"] * 255).astype(np.uint8))
+                    except Exception:
+                        pass  # summaries must never kill training
 
             if step % cfg.train.checkpoint_interval == 0 or step == total:
                 ckpt.save(jax.device_get(state))
