@@ -43,6 +43,7 @@ class ModelConfig:
     use_norm: bool = False
     input_norm: bool = False
     corr_backend: str = "pallas"
+    stem_backend: str = "auto"        # fused pyramid-stem kernel (levels 1-2)
     flow_scale: float = 20.0
     dtype: str = "bfloat16"           # compute dtype: float32|bfloat16
 

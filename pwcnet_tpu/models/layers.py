@@ -50,6 +50,45 @@ class ConvBlock(nn.Module):
         return leaky_relu(x)
 
 
+class StemConvs(nn.Module):
+    """Pyramid levels 1-2 (conv s2 -> conv -> conv s2 -> conv, LeakyReLU
+    0.1 after each) with a fused Pallas fast path.
+
+    Owns its parameters directly (``conv{1..4}_kernel/bias``, shapes
+    matching ``nn.Conv``) so the 'pallas' and 'lax' backends share one
+    parameter tree. Returns level-2 features only — the PWC decoder never
+    consumes level 1 (finest decoder level is 2), which is what lets the
+    fused kernel keep level-1 features entirely in VMEM.
+    """
+
+    c1: int
+    c2: int
+    dtype: Any = jnp.float32
+    backend: str = "auto"  # 'pallas' | 'lax' | 'auto' (pallas on TPU)
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from pwcnet_tpu.ops.pallas.stem_kernel import stem_pallas, stem_ref
+        params = []
+        cin = x.shape[-1]
+        for name, ci, co in (("conv1", cin, self.c1),
+                             ("conv2", self.c1, self.c1),
+                             ("conv3", self.c1, self.c2),
+                             ("conv4", self.c2, self.c2)):
+            k = self.param(f"{name}_kernel", nn.initializers.lecun_normal(),
+                           (3, 3, ci, co), jnp.float32)
+            b = self.param(f"{name}_bias", nn.initializers.zeros_init(),
+                           (co,), jnp.float32)
+            params.append((k.astype(self.dtype), b.astype(self.dtype)))
+        x = x.astype(self.dtype)
+        backend = self.backend
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() == "tpu" else "lax"
+        if backend == "lax":
+            return stem_ref(x, params)
+        return stem_pallas(x, params)
+
+
 class ConvStack(nn.Module):
     """A straight stack of ConvBlocks with given feature sizes."""
 

@@ -27,7 +27,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from pwcnet_tpu.models.layers import ConvBlock, ConvStack, leaky_relu
+from pwcnet_tpu.models.layers import (ConvBlock, ConvStack, StemConvs,
+                                      leaky_relu)
 from pwcnet_tpu.ops.cost_volume import cost_volume
 from pwcnet_tpu.ops.warp import warp_bilinear
 
@@ -57,23 +58,42 @@ def resize_to(x: jax.Array, hw: Tuple[int, int]) -> jax.Array:
 class FeaturePyramidExtractor(nn.Module):
     """Per-level stride-2 conv pairs producing an L-level pyramid.
 
-    Returns features coarsest-first: ``[level_L, ..., level_1]`` where
+    Returns features coarsest-first: ``[level_L, ..., level_min]`` where
     level l has 1/2^l the input resolution and ``channels[l-1]`` channels.
+    Levels finer than ``min_level`` are omitted; when ``min_level >= 2``
+    (the PWC decoder only consumes levels >= 2) and norm is off, levels
+    1-2 run through the fused Pallas stem kernel
+    (``pwcnet_tpu/ops/pallas/stem_kernel.py``) — level-1 features then
+    never leave VMEM. Note the parameter tree differs between the fused
+    (``StemConvs``) and plain (``ConvBlock``) stems.
     """
 
     channels: Sequence[int] = DEFAULT_PYRAMID_CHANNELS
     use_norm: bool = False
     dtype: Any = jnp.float32
+    min_level: int = 1
+    stem_backend: str = "auto"  # 'pallas' | 'lax' | 'auto'
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = True) -> List[jax.Array]:
         feats = []
-        for ch in self.channels:
+        start = 0
+        fuse_stem = (self.min_level >= 2 and not self.use_norm
+                     and len(self.channels) >= 2)
+        if fuse_stem:
+            x = StemConvs(c1=self.channels[0], c2=self.channels[1],
+                          dtype=self.dtype, backend=self.stem_backend)(x)
+            if self.min_level <= 2:
+                feats.append(x)
+            start = 2
+        for ch in self.channels[start:]:
             x = ConvBlock(ch, stride=2, use_norm=self.use_norm,
                           dtype=self.dtype)(x, train=train)
             x = ConvBlock(ch, stride=1, use_norm=self.use_norm,
                           dtype=self.dtype)(x, train=train)
-            feats.append(x)
+            if start + 1 >= self.min_level:
+                feats.append(x)
+            start += 1
         return feats[::-1]
 
 
@@ -136,6 +156,7 @@ class PWCNet(nn.Module):
     use_norm: bool = False
     input_norm: bool = False
     corr_backend: str = "lax"
+    stem_backend: str = "auto"
     flow_scale: float = 20.0
     dtype: Any = jnp.float32
 
@@ -173,7 +194,9 @@ class PWCNet(nn.Module):
         im2 = im2.astype(self.dtype)
 
         extractor = FeaturePyramidExtractor(
-            channels=chans, use_norm=self.use_norm, dtype=self.dtype)
+            channels=chans, use_norm=self.use_norm, dtype=self.dtype,
+            min_level=self.num_levels - self.output_level,
+            stem_backend=self.stem_backend)
         # One batched extractor pass over both frames (shared weights):
         # small-channel convs starve the MXU, so doubling N is ~26% faster
         # than two calls (measured on v5e at Sintel resolution).

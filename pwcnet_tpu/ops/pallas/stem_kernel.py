@@ -1,0 +1,327 @@
+"""Fused Pallas TPU kernel for PWC-Net pyramid levels 1-2 (the "stem").
+
+The four stem convs (3->c1 stride 2, c1->c1, c1->c2 stride 2, c2->c2,
+each + bias + LeakyReLU 0.1; reference ``modules.py``
+``FeaturePyramidExtractor`` levels 1-2) are XLA's worst case on TPU: with
+3..32 channels riding the 128-lane dimension the conv layouts pad 4-40x,
+and the level-1/2 convs alone cost more than the entire 65-GFLOP decoder
+(measured ~860 us of a 2.3 ms forward at 448x1024 on v5e).
+
+This kernel computes all four convs in ONE pallas_call per row-tile:
+
+- The input image enters as (N, H, W/2/g1, g1*2*3): a *pure reshape* of
+  NHWC — W pairs fold into lanes (stride-2 column taps become static lane
+  offsets), g1 pairs pack per lane-group so the matmuls fill MXU lanes.
+  No XLA transpose anywhere (an XLA space-to-depth of the image measured
+  1.7 ms by itself — the layout pathology this kernel exists to avoid).
+- Level-1 features live only in VMEM scratch: the PWC decoder never uses
+  them (finest decoder level is 2), so HBM traffic is image-in (~5.5 MB)
+  + level-2-features-out (~3.7 MB) — near speed-of-light.
+- Row stride 2 is handled by strided leading-dim slices of the extended
+  patch tensors (E*); column taps are static lane slices; each conv is
+  kh dots of E row-slices against trace-time-embedded weight matrices.
+- SAME-padding semantics: interior feature rows outside the valid height
+  are zero-masked (a conv over zero *input* is lrelu(bias) != 0 — the
+  mask reproduces exactly what XLA's SAME padding of the *features*
+  would read). Column pads are zero groups maintained in the scratch.
+
+Gradients: `jax.custom_vjp` whose backward is XLA autodiff of the
+reference lax conv chain — the same function, so gradients are exact.
+
+Dims glossary: g1 = pairs per lane-group at level 1 (8 at W=1024, 4 at
+W=448); g2 = g1/2 groups at level 2 so level-1 lane-groups reinterpret
+in place; c1, c2 = level channels (16, 32).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pwcnet_tpu.ops.pallas.conv_kernel import conv_ref
+
+Params = Tuple[Tuple[jax.Array, jax.Array], ...]  # ((w,b) x 4)
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _rup128(x: int) -> int:
+    return _cdiv(x, 128) * 128
+
+
+# ---------------------------------------------------------------------------
+# Trace-time weight embeddings
+# ---------------------------------------------------------------------------
+
+def _embed_s2(w: jax.Array, g: int, cpair: int) -> jax.Array:
+    """Stride-2 3x3 kernel (3,3,ci,co) -> (3, (g+1)*cpair, g*co).
+
+    Output column X = gg*g + j reads raw columns 2X+v, v in 0..2 (lax SAME
+    stride-2 pads (0,1)); raw col 2X+v = pair X + v//2, parity v%2. The
+    input lane layout is (j', px, ci) with cpair = 2*ci lanes per pair;
+    E column j' = j + dx, dx = v//2.
+    """
+    kh, kw, ci, co = w.shape
+    out = jnp.zeros((3, g + 1, 2, ci, g, co), w.dtype)
+    for j in range(g):
+        for v in range(3):
+            dx, px = divmod(v, 2)
+            out = out.at[:, j + dx, px, :, j, :].add(w[:, v])
+    return out.reshape(3, (g + 1) * cpair, g * co)
+
+
+def _embed_s1(w: jax.Array, g: int) -> jax.Array:
+    """3x3 stride-1 kernel (3,3,ci,co) -> (3, (g+2)*ci, g*co).
+
+    E column j' of output group gg = input column gg*g + j' - 1 (SAME pad
+    1); output lane (j, co) takes tap dx from column j' = j + dx.
+    """
+    kh, kw, ci, co = w.shape
+    out = jnp.zeros((3, g + 2, ci, g, co), w.dtype)
+    for j in range(g):
+        for dx in range(3):
+            out = out.at[:, j + dx, :, j, :].add(w[:, dx])
+    return out.reshape(3, (g + 2) * ci, g * co)
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+def _stem_kernel(x0_ref, x1_ref, w1_ref, w2_ref, w3_ref, w4_ref,
+                 b1_ref, b2_ref, b3_ref, b4_ref, out_ref,
+                 xs, e1, f1, e2, f2, e3, f3, e4, *,
+                 t: int, g1: int, c1: int, c2: int, wg: int,
+                 h1: int, h2: int, top: int):
+    """One tile: level-2 output rows [i*t, i*t + t)."""
+    i = pl.program_id(1)
+    g2 = g1 // 2
+    cim = 6  # folded image lanes per pair (2 * 3)
+    slope = jnp.bfloat16(0.1)
+
+    def lrelu(x):
+        return jnp.where(x >= 0, x, 0.1 * x)
+
+    def rowmask(x, first_abs, valid):
+        """Zero rows whose absolute feature row is outside [0, valid)."""
+        rows = x.shape[0]
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0) + first_abs
+        ok = (ridx >= 0) & (ridx < valid)
+        return jnp.where(ok, x, jnp.zeros_like(x))
+
+    xs[:4 * t] = x0_ref[0]
+    xs[4 * t:] = x1_ref[0]
+
+    # ---- conv1: image -> F1 (level-1 features), row stride 2 ----------
+    # Row stride 2: Mosaic has no bf16 strided loads, so the E tensors
+    # are read back whole and their even row count reshapes (free, leading
+    # dims only) into (pairs, parity); the three row taps 2l+u are then
+    # static slices (l, 0), (l, 1), (l+1, 0).
+    r1 = 2 * t + 7                      # F1 rows: abs [2*i*t - 3, +r1)
+    k1 = (g1 + 1) * cim
+    for j in range(g1 + 1):
+        grp, lane = divmod(j + g1, g1)  # pw_lo = 0; one left pad group
+        e1[:, :, j * cim:(j + 1) * cim] = (
+            xs[:4 * t + 16, grp:grp + wg, lane * cim:(lane + 1) * cim])
+    e1a = e1[...].reshape(2 * t + 8, 2, wg, k1)
+    acc = jnp.zeros((r1 * wg, g1 * c1), jnp.float32)
+    for u in range(3):
+        sl = e1a[1:r1 + 1, 0] if u == 2 else e1a[:r1, u]
+        acc = acc + jnp.dot(sl.reshape(r1 * wg, k1), w1_ref[u],
+                            preferred_element_type=jnp.float32)
+    res = lrelu(acc + b1_ref[...].astype(jnp.float32))
+    res = rowmask(res.reshape(r1, wg, g1 * c1), 2 * i * t - 3, h1)
+    f1[:, 0, :] = jnp.zeros_like(f1[:, 0, :])
+    f1[:, wg + 1, :] = jnp.zeros_like(f1[:, wg + 1, :])
+    f1[:, 1:wg + 1, :] = res.astype(f1.dtype)
+
+    # ---- conv2: F1 -> F2, 3x3 -----------------------------------------
+    r2 = 2 * t + 5                      # F2 rows: abs [2*i*t - 2, +r2)
+    for j in range(g1 + 2):
+        grp, lane = divmod(j - 1 + g1, g1)
+        e2[:, :, j * c1:(j + 1) * c1] = (
+            f1[:r1, grp:grp + wg, lane * c1:(lane + 1) * c1])
+    k2 = (g1 + 2) * c1
+    acc = jnp.zeros((r2 * wg, g1 * c1), jnp.float32)
+    for dy in range(3):
+        acc = acc + jnp.dot(e2[dy:dy + r2].reshape(r2 * wg, k2), w2_ref[dy],
+                            preferred_element_type=jnp.float32)
+    res = lrelu(acc + b2_ref[...].astype(jnp.float32))
+    res = rowmask(res.reshape(r2, wg, g1 * c1), 2 * i * t - 2, h1)
+    f2[:, 0, :] = jnp.zeros_like(f2[:, 0, :])
+    f2[:, wg + 1, :] = jnp.zeros_like(f2[:, wg + 1, :])
+    f2[:, 1:wg + 1, :] = res.astype(f2.dtype)
+
+    # ---- conv3: F2 -> F3 (level-2), row stride 2; F2 lane-groups of
+    # g1 level-1 columns reinterpret in place as g2 pairs of 2*c1 lanes.
+    r3 = t + 2                          # F3 rows: abs [i*t - 1, +r3)
+    cp1 = 2 * c1
+    k3 = (g2 + 1) * cp1
+    for j in range(g2 + 1):
+        grp, lane = divmod(j + g2, g2)
+        e3[:r2, :, j * cp1:(j + 1) * cp1] = (
+            f2[:r2, grp:grp + wg, lane * cp1:(lane + 1) * cp1])
+    e3a = e3[...].reshape(t + 3, 2, wg, k3)
+    acc = jnp.zeros((r3 * wg, g2 * c2), jnp.float32)
+    for u in range(3):
+        sl = e3a[1:r3 + 1, 0] if u == 2 else e3a[:r3, u]
+        acc = acc + jnp.dot(sl.reshape(r3 * wg, k3), w3_ref[u],
+                            preferred_element_type=jnp.float32)
+    res = lrelu(acc + b3_ref[...].astype(jnp.float32))
+    res = rowmask(res.reshape(r3, wg, g2 * c2), i * t - 1, h2)
+    f3[:, 0, :] = jnp.zeros_like(f3[:, 0, :])
+    f3[:, wg + 1, :] = jnp.zeros_like(f3[:, wg + 1, :])
+    f3[:, 1:wg + 1, :] = res.astype(f3.dtype)
+
+    # ---- conv4: F3 -> out, 3x3 ----------------------------------------
+    for j in range(g2 + 2):
+        grp, lane = divmod(j - 1 + g2, g2)
+        e4[:, :, j * c2:(j + 1) * c2] = (
+            f3[:r3, grp:grp + wg, lane * c2:(lane + 1) * c2])
+    k4 = (g2 + 2) * c2
+    acc = jnp.zeros((t * wg, g2 * c2), jnp.float32)
+    for dy in range(3):
+        acc = acc + jnp.dot(e4[dy:dy + t].reshape(t * wg, k4), w4_ref[dy],
+                            preferred_element_type=jnp.float32)
+    res = lrelu(acc + b4_ref[...].astype(jnp.float32))
+    out_ref[0] = res.reshape(t, wg, g2 * c2).astype(out_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Wrapper
+# ---------------------------------------------------------------------------
+
+def _pick_g1(w: int, c1: int) -> int:
+    g = 2
+    while (g < 16 and c1 * g * 2 <= 128 and (w // 2) % (g * 2) == 0
+           and (w // 2 // (g * 2)) % 8 == 0):
+        g *= 2
+    return g
+
+
+def _stem_impl(im: jax.Array, params: Params, interpret: bool) -> jax.Array:
+    n, h, w, cin = im.shape
+    (w1, b1), (w2, b2), (w3, b3), (w4, b4) = params
+    c1, c2 = w1.shape[-1], w3.shape[-1]
+    assert cin == 3 and w % 2 == 0 and h % 4 == 0
+    h1, h2 = h // 2, h // 4
+    g1 = _pick_g1(w, c1)
+    g2 = g1 // 2
+    wg = (w // 2) // g1
+    s = im.dtype.itemsize
+
+    def vmem_bytes(t):
+        return s * (
+            8 * t * (wg + 2) * g1 * 6                 # xs
+            + (4 * t + 16) * wg * (g1 + 1) * 6        # e1
+            + (2 * t + 7) * (wg + 2) * g1 * c1        # f1
+            + (2 * t + 7) * wg * (g1 + 2) * c1        # e2
+            + (2 * t + 5) * (wg + 2) * g1 * c1        # f2
+            + (2 * t + 6) * wg * (g2 + 1) * 2 * c1   # e3
+            + (t + 2) * (wg + 2) * g2 * c2            # f3
+            + (t + 2) * wg * (g2 + 2) * c2            # e4
+            + 2 * 2 * 4 * t * (wg + 2) * g1 * 6       # in blocks (dbl-buf)
+            + 2 * t * wg * g2 * c2                    # out (dbl-buf)
+        ) + (2 * t + 7) * wg * 128 * 4 * 3            # f32 acc + pm temps
+
+    t = next((tt for tt in (16, 8) if vmem_bytes(tt) <= 12 * 2 ** 20), None)
+    if t is None:
+        return stem_ref(im, params)
+    n_tiles = _cdiv(h2, t)
+
+    # Image: NHWC -> (N, Hp, wg + 2, g1 * 6) by pure reshape + zero pads
+    # (rows: 6 halo on top, block coverage below; cols: one pad group each
+    # side). jnp.pad of the reshaped form is one cheap dense copy.
+    xf = im.reshape(n, h, wg, g1 * 2 * 3)
+    xf = jnp.pad(xf, ((0, 0), (6, (n_tiles + 1) * 4 * t - h - 6),
+                      (1, 1), (0, 0)))
+
+    dt = im.dtype
+    wm1 = _embed_s2(w1, g1, 6).astype(dt)
+    wm2 = _embed_s1(w2, g1).astype(dt)
+    wm3 = _embed_s2(w3, g2, 2 * c1).astype(dt)
+    wm4 = _embed_s1(w4, g2).astype(dt)
+    bf = lambda b, g: jnp.tile(b.astype(jnp.float32), g).reshape(1, -1)
+
+    blk = lambda off: pl.BlockSpec(
+        (1, 4 * t, wg + 2, g1 * 6), lambda b, i, _o=off: (b, i + _o, 0, 0),
+        memory_space=pltpu.VMEM)
+    wspec = lambda a: pl.BlockSpec(a.shape, lambda b, i: (0,) * a.ndim,
+                                   memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_stem_kernel, t=t, g1=g1, c1=c1, c2=c2, wg=wg,
+                          h1=h1, h2=h2, top=6),
+        out_shape=jax.ShapeDtypeStruct((n, n_tiles * t, wg, g2 * c2), dt),
+        grid=(n, n_tiles),
+        in_specs=[blk(0), blk(1), wspec(wm1), wspec(wm2), wspec(wm3),
+                  wspec(wm4)] + [wspec(x) for x in
+                                 (bf(b1, g1), bf(b2, g1), bf(b3, g2),
+                                  bf(b4, g2))],
+        out_specs=pl.BlockSpec((1, t, wg, g2 * c2),
+                               lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((8 * t, wg + 2, g1 * 6), dt),            # xs
+            pltpu.VMEM((4 * t + 16, wg, (g1 + 1) * 6), dt),     # e1
+            pltpu.VMEM((2 * t + 7, wg + 2, g1 * c1), dt),       # f1
+            pltpu.VMEM((2 * t + 7, wg, (g1 + 2) * c1), dt),     # e2
+            pltpu.VMEM((2 * t + 5, wg + 2, g1 * c1), dt),       # f2
+            pltpu.VMEM((2 * t + 6, wg, (g2 + 1) * 2 * c1), dt), # e3
+            pltpu.VMEM((t + 2, wg + 2, g2 * c2), dt),           # f3
+            pltpu.VMEM((t + 2, wg, (g2 + 2) * c2), dt),         # e4
+        ],
+        interpret=interpret,
+    )(xf, xf, wm1, wm2, wm3, wm4, bf(b1, g1), bf(b2, g1), bf(b3, g2),
+      bf(b4, g2))
+    # (N, n_tiles*t, wg, g2*c2) -> NHWC level-2 features
+    return out[:, :h2].reshape(n, h2, wg * g2, c2)
+
+
+def stem_ref(im: jax.Array, params: Params) -> jax.Array:
+    """XLA reference: the plain conv chain (oracle + backward)."""
+    (w1, b1), (w2, b2), (w3, b3), (w4, b4) = params
+    y = conv_ref(im, w1, b1, stride=2, slope=0.1)
+    y = conv_ref(y, w2, b2, slope=0.1)
+    y = conv_ref(y, w3, b3, stride=2, slope=0.1)
+    return conv_ref(y, w4, b4, slope=0.1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _stem(im, params, interpret):
+    return _stem_impl(im, params, interpret)
+
+
+def _stem_fwd(im, params, interpret):
+    return _stem(im, params, interpret), (im, params)
+
+
+def _stem_bwd(interpret, res, grad):
+    im, params = res
+    _, vjp = jax.vjp(stem_ref, im, params)
+    return vjp(grad)
+
+
+_stem.defvjp(_stem_fwd, _stem_bwd)
+
+
+def stem_pallas(im: jax.Array, params: Params, *,
+                interpret: bool | None = None) -> jax.Array:
+    """Fused pyramid levels 1-2: (N, H, W, 3) -> (N, H/4, W/4, c2).
+
+    Falls back to the XLA chain when the width cannot fold (W/2 must be a
+    multiple of 16 with a sublane-aligned group count) or H % 4 != 0.
+    """
+    n, h, w, cin = im.shape
+    if (cin != 3 or h % 4 or w % 2 or _pick_g1(w, params[0][0].shape[-1]) < 2
+            or (h // 4) < 8):
+        return stem_ref(im, params)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _stem(im, params, interpret)

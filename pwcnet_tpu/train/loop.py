@@ -52,6 +52,7 @@ def build_model(cfg: Config):
         use_norm=m.use_norm,
         input_norm=m.input_norm,
         corr_backend=m.corr_backend,
+        stem_backend=m.stem_backend,
         flow_scale=m.flow_scale,
         dtype=jnp.bfloat16 if m.dtype == "bfloat16" else jnp.float32,
     )

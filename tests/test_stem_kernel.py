@@ -1,0 +1,95 @@
+"""Fused pyramid-stem Pallas kernel vs the lax conv chain (SURVEY.md §4:
+every Pallas kernel is paired with a lax oracle; kernels run with
+interpret=True on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pwcnet_tpu.ops.pallas.stem_kernel import stem_pallas, stem_ref
+
+
+def _params(rng, c1=16, c2=32, dtype=jnp.float32):
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.1, dtype)
+    return ((mk(3, 3, 3, c1), mk(c1)), (mk(3, 3, c1, c1), mk(c1)),
+            (mk(3, 3, c1, c2), mk(c2)), (mk(3, 3, c2, c2), mk(c2)))
+
+
+@pytest.mark.parametrize("hw", [(64, 96), (32, 128), (64, 256), (36, 96)])
+def test_stem_matches_lax(hw):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, *hw, 3)), jnp.float32)
+    p = _params(rng)
+    got = stem_pallas(x, p, interpret=True)
+    want = stem_ref(x, p)
+    assert got.shape == want.shape == (2, hw[0] // 4, hw[1] // 4, 32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_stem_bf16_close_to_f32_oracle():
+    rng = np.random.default_rng(1)
+    x32 = jnp.asarray(rng.random((1, 64, 128, 3)), jnp.float32)
+    p32 = _params(rng)
+    want = stem_ref(x32, p32)
+    p16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), p32)
+    got = stem_pallas(x32.astype(jnp.bfloat16), p16,
+                      interpret=True).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0.1, atol=0.1)
+
+
+def test_stem_odd_width_falls_back():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.random((1, 64, 72, 3)), jnp.float32)  # W/2=36: g1<2
+    p = _params(rng)
+    got = stem_pallas(x, p)
+    want = stem_ref(x, p)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_stem_gradients_match_lax():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((1, 32, 96, 3)), jnp.float32)
+    p = _params(rng)
+
+    def loss_p(pp):
+        return jnp.sum(stem_pallas(x, pp, interpret=True) ** 2)
+
+    def loss_r(pp):
+        return jnp.sum(stem_ref(x, pp) ** 2)
+
+    gp = jax.grad(loss_p)(p)
+    gr = jax.grad(loss_r)(p)
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_extractor_fused_stem_matches_plain():
+    from pwcnet_tpu.models.pwcnet import FeaturePyramidExtractor
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.random((1, 64, 128, 3)), jnp.float32)
+    ext_p = FeaturePyramidExtractor(channels=(16, 32, 64), min_level=2,
+                                    stem_backend="pallas")
+    ext_l = FeaturePyramidExtractor(channels=(16, 32, 64), min_level=2,
+                                    stem_backend="lax")
+    params = ext_p.init(jax.random.key(0), x)
+    fp = ext_p.apply(params, x)
+    fl = ext_l.apply(params, x)  # same tree: backends share parameters
+    assert [tuple(f.shape) for f in fp] == [(1, 8, 16, 64), (1, 16, 32, 32)]
+    for a, b in zip(fp, fl):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_extractor_min_level_one_keeps_full_pyramid():
+    from pwcnet_tpu.models.pwcnet import FeaturePyramidExtractor
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+    ext = FeaturePyramidExtractor(channels=(16, 32, 64))
+    params = ext.init(jax.random.key(0), x)
+    feats = ext.apply(params, x)
+    assert [tuple(f.shape) for f in feats] == [
+        (1, 8, 8, 64), (1, 16, 16, 32), (1, 32, 32, 16)]
