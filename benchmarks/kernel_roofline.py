@@ -1,58 +1,66 @@
-"""Correlation-kernel roofline: effective bandwidth / FLOPs vs hardware
-ceilings at every PWC-Net pyramid-level shape (BASELINE.json north-star
-"warp+corr kernel GB/s").
+"""Kernel roofline: effective bandwidth / FLOPs vs hardware ceilings for
+the Pallas kernels (correlation, fused pyramid stem) and the warp gather
+at every PWC-Net pyramid-level shape (BASELINE.json north-star "warp+corr
+kernel GB/s").
 
 Run on TPU:  python benchmarks/kernel_roofline.py [--input H W]
 
-Methodology note (remote-TPU tunnel): ``block_until_ready`` does not hard
--sync and any host fetch costs a ~28 ms round trip, so every timed figure
-dispatches many iterations and fetches one scalar at the end
-(see bench.py).
+Methodology (remote-TPU tunnel): a host dispatch costs ~1.7 ms and even a
+lax.scan iteration carries ~0.13 ms of overhead, so every timing here is
+*marginal*: one jit scans a body applying the op k times (chained through
+a scalar perturbation); t = (t_k2 - t_k1) / (k2 - k1). This matches
+in-graph cost, which is what the model actually pays.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # v5e per-chip ceilings (public figures).
 HBM_GBPS = 819.0
 BF16_TFLOPS = 197.0
 
+SCAN = 10
 
-def bench_scalar(fn, *args, inner=20, outer=10, warmup=2):
-    """Per-invocation time with dispatch overhead amortized away.
 
-    Each jit call runs ``inner`` kernel invocations under ``lax.scan`` over
-    ``inner`` *distinct* inputs (stacked leading axis; distinct data stops
-    XLA from CSE-ing the repeats), so the ~0.5 ms per-dispatch floor of
-    the remote-TPU tunnel divides by ``inner``.
-    """
+def bench_marginal(op, *args, iters=15, warmup=3):
+    """Marginal per-application device time of ``op(*args) -> array``."""
     import jax
     import jax.numpy as jnp
 
-    stacked = tuple(
-        jnp.stack([a + (i % 7) * 1e-3 for i in range(inner)])
-        for a in args)
+    def make(reps):
+        @jax.jit
+        def f(*a):
+            def body(c, _):
+                cc = c
+                for _ in range(reps):
+                    out = op(*[x + cc.astype(x.dtype) for x in a])
+                    cc = jnp.max(out).astype(jnp.float32) * 1e-9
+                return cc, None
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=SCAN)
+            return c
+        return f
 
-    @jax.jit
-    def f(*st):
-        def body(acc, xs):
-            return acc + jnp.sum(fn(*xs).astype(jnp.float32)), None
-        acc, _ = jax.lax.scan(body, jnp.float32(0.0), st)
-        return acc
+    def run(f):
+        for _ in range(warmup):
+            r = f(*args)
+        float(r)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = f(*args)
+        float(r)
+        return (time.perf_counter() - t0) / (iters * SCAN)
 
-    for _ in range(warmup):
-        r = f(*stacked)
-    float(r)
-    t0 = time.perf_counter()
-    for _ in range(outer):
-        r = f(*stacked)
-    float(r)
-    return (time.perf_counter() - t0) / (outer * inner)
+    t1, t2 = run(make(1)), run(make(2))
+    return max(t2 - t1, 1e-9)
 
 
 def main() -> int:
@@ -66,9 +74,16 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    cache = os.path.expanduser("~/.cache/pwcnet_tpu/xla")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from pwcnet_tpu.models.pwcnet import DEFAULT_PYRAMID_CHANNELS
     from pwcnet_tpu.ops.cost_volume import cost_volume_lax
     from pwcnet_tpu.ops.pallas.cost_volume_kernel import cost_volume_pallas
+    from pwcnet_tpu.ops.pallas.stem_kernel import stem_pallas, stem_ref
     from pwcnet_tpu.ops.warp import warp_bilinear
 
     rng = np.random.default_rng(0)
@@ -76,7 +91,7 @@ def main() -> int:
     d = args.d
     side2 = (2 * d + 1) ** 2
     rows = []
-    # Model levels: num_levels .. num_levels-output_level (6..2 default).
+    # Decoder levels: num_levels .. num_levels-output_level (6..2 default).
     for level in range(2, 7):
         c = DEFAULT_PYRAMID_CHANNELS[level - 1]
         h, w = h0 >> level, w0 >> level
@@ -86,12 +101,9 @@ def main() -> int:
         flow = jnp.asarray(rng.standard_normal(
             (args.batch, h, w, 2)) * 3, jnp.float32)
 
-        t_pal = bench_scalar(
-            jax.jit(lambda a, b: cost_volume_pallas(a, b)), f1, f2)
-        t_lax = bench_scalar(
-            jax.jit(lambda a, b: cost_volume_lax(a, b)), f1, f2)
-        t_warp = bench_scalar(
-            jax.jit(lambda a, b: warp_bilinear(a, b)), f2, flow)
+        t_pal = bench_marginal(lambda a, b: cost_volume_pallas(a, b), f1, f2)
+        t_lax = bench_marginal(lambda a, b: cost_volume_lax(a, b), f1, f2)
+        t_warp = bench_marginal(lambda a, b: warp_bilinear(a, b), f2, flow)
 
         n_px = args.batch * h * w
         bytes_min = n_px * c * 2 * 2 + n_px * side2 * 2  # f1+f2 in, corr out
@@ -107,17 +119,35 @@ def main() -> int:
             "corr_tflops": round(flops / t_pal / 1e12, 2),
         })
 
+    # Fused pyramid stem (both frames batched, as in the model).
+    im = jnp.asarray(rng.random((2 * args.batch, h0, w0, 3)), jnp.bfloat16)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.1, jnp.bfloat16)
+    sp = ((mk(3, 3, 3, 16), mk(16)), (mk(3, 3, 16, 16), mk(16)),
+          (mk(3, 3, 16, 32), mk(32)), (mk(3, 3, 32, 32), mk(32)))
+    t_stem = bench_marginal(lambda a: stem_pallas(a, sp), im)
+    t_stem_x = bench_marginal(lambda a: stem_ref(a, sp), im)
+    n_im = 2 * args.batch
+    stem_bytes = n_im * (h0 * w0 * 3 + (h0 // 4) * (w0 // 4) * 32) * 2
+    stem = {
+        "stem_pallas_us": round(t_stem * 1e6, 1),
+        "stem_xla_us": round(t_stem_x * 1e6, 1),
+        "speedup": round(t_stem_x / t_stem, 2),
+        "eff_gbps": round(stem_bytes / t_stem / 1e9, 1),
+        "pct_hbm_sol": round(100 * stem_bytes / t_stem / 1e9 / HBM_GBPS, 1),
+    }
+
     total_pal = sum(r["corr_pallas_us"] for r in rows)
     total_lax = sum(r["corr_lax_us"] for r in rows)
     print(json.dumps({
         "device": str(jax.devices()[0]),
         "input_hw": [h0, w0],
         "levels": rows,
+        "stem": stem,
         "corr_total_us": {"pallas": round(total_pal, 1),
                           "lax": round(total_lax, 1),
-                          "speedup": round(total_lax / total_pal, 2)},
-        "note": ("per-level timings include one fixed dispatch overhead "
-                 "each; totals overstate in-model cost accordingly"),
+                          "speedup": round(total_lax / max(total_pal, 1e-9),
+                                           2)},
+        "method": "marginal scan timing (see module docstring)",
     }, indent=2))
     return 0
 

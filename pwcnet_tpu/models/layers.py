@@ -64,10 +64,10 @@ class StemConvs(nn.Module):
     c1: int
     c2: int
     dtype: Any = jnp.float32
-    backend: str = "auto"  # 'pallas' | 'lax' | 'auto' (pallas on TPU)
+    backend: str = "auto"  # 'pallas' | 'lax' | 'auto'
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         from pwcnet_tpu.ops.pallas.stem_kernel import stem_pallas, stem_ref
         params = []
         cin = x.shape[-1]
@@ -83,7 +83,13 @@ class StemConvs(nn.Module):
         x = x.astype(self.dtype)
         backend = self.backend
         if backend == "auto":
-            backend = "pallas" if jax.default_backend() == "tpu" else "lax"
+            # Inference: fused kernel. Training: the kernel's custom_vjp
+            # backward re-runs the XLA chain (its VMEM-resident level-1
+            # features leave nothing to save as residuals), which costs
+            # more than the kernel saves — use the XLA chain end to end
+            # until a hand-written backward kernel lands.
+            backend = ("pallas" if jax.default_backend() == "tpu"
+                       and not train else "lax")
         if backend == "lax":
             return stem_ref(x, params)
         return stem_pallas(x, params)

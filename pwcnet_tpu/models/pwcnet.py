@@ -82,7 +82,8 @@ class FeaturePyramidExtractor(nn.Module):
                      and len(self.channels) >= 2)
         if fuse_stem:
             x = StemConvs(c1=self.channels[0], c2=self.channels[1],
-                          dtype=self.dtype, backend=self.stem_backend)(x)
+                          dtype=self.dtype, backend=self.stem_backend)(
+                              x, train=train)
             if self.min_level <= 2:
                 feats.append(x)
             start = 2

@@ -117,7 +117,7 @@ def _corr_fwd_kernel(f1_ref, f2a_ref, f2b_ref, out_ref, f2x, *, d: int,
         for dy in range(side):
             out_ref[0, dy * side + dx] = (
                 jnp.sum(f1b * f2x[:, dy:dy + tile, :], axis=0,
-                        dtype=jnp.float32) * inv_c)
+                        dtype=jnp.float32) * inv_c).astype(out_ref.dtype)
 
 
 def _corr_forward_pallas(f1: jax.Array, f2: jax.Array, d: int,
@@ -137,7 +137,7 @@ def _corr_forward_pallas(f1: jax.Array, f2: jax.Array, d: int,
         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_corr_fwd_kernel, d=d, tile=tile, w=w, c=c),
-        out_shape=jax.ShapeDtypeStruct((n, side * side, h, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, side * side, h, w), f1.dtype),
         grid=(n, n_tiles),
         in_specs=[
             pl.BlockSpec((1, c, tile, w), lambda b, i: (b, 0, i, 0),
@@ -153,7 +153,7 @@ def _corr_forward_pallas(f1: jax.Array, f2: jax.Array, d: int,
         cost_estimate=pl.CostEstimate(
             flops=2 * n * h * w * side * side * c,
             bytes_accessed=(3 * n * h * w * c * itemsize
-                            + n * h * w * side * side * 4),
+                            + n * h * w * side * side * itemsize),
             transcendentals=0,
         ),
     )(f1cf, f2cf, f2cf)
