@@ -56,6 +56,9 @@ class DataConfig:
     sample_hw: Tuple[int, int] = (384, 512)   # host collation shape
     eval_batch: int = 4
     num_threads: int = 8
+    # Synthetic dataset only: generate training batches *on device* inside
+    # a jitted generator (no host<->device transfer in the hot loop).
+    device_gen: bool = False
     augment: AugmentConfig = field(default_factory=AugmentConfig)
 
 
@@ -124,6 +127,20 @@ PRESETS = {
         data=DataConfig(name="sintel", root="/data/Sintel",
                         sample_hw=(448, 1024)),
         train=TrainConfig(log_dir="runs/sintel-eval"),
+    ),
+    # End-to-end learning proof on procedural data with exact GT (no /data
+    # needed): validates warp direction, u/v order, flow_scale, loss scaling.
+    "synthetic-proof": Config(
+        data=DataConfig(name="synthetic", root="-", crop_hw=(384, 448),
+                        sample_hw=(384, 448), eval_batch=8, device_gen=True),
+        train=TrainConfig(
+            global_batch=8,
+            schedule=ScheduleConfig(base_lr=1e-4,
+                                    milestones=(60_000, 90_000, 110_000),
+                                    total_steps=125_000),
+            summary_interval=200, eval_interval=2500,
+            checkpoint_interval=5000, eval_limit=128,
+            log_dir="runs/synthetic-proof"),
     ),
     "raft-chairs": Config(  # stretch: RAFT-style iterative head
         model=ModelConfig(family="raft"),

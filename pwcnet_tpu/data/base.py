@@ -106,6 +106,26 @@ class FlowDataset(abc.ABC):
         chosen = idx[:n_val] if split == "val" else idx[n_val:]
         return [records[i] for i in sorted(chosen)]
 
+    @staticmethod
+    def split_groups(records: Sequence[SampleRecord],
+                     keys: Sequence[str], split: str,
+                     val_fraction: float = 0.1,
+                     seed: int = 0) -> List[SampleRecord]:
+        """Group-stable deterministic split: whole groups (e.g. Sintel
+        scenes) go to train or val, never individual frames — a record-level
+        split would leak val frames from training scenes and inflate val
+        optimism (consecutive frames are nearly identical)."""
+        if split == "all":
+            return list(records)
+        groups = sorted(set(keys))
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(len(groups))
+        n_val = max(int(len(groups) * val_fraction), 1)
+        val_groups = {groups[i] for i in order[:n_val]}
+        want_val = split == "val"
+        return [r for r, k in zip(records, keys)
+                if (k in val_groups) == want_val]
+
 
 _REGISTRY: Dict[str, type] = {}
 

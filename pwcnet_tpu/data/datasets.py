@@ -142,6 +142,7 @@ class Sintel(FlowDataset):
         require_dir(img_root, f"Sintel {render_pass}")
         require_dir(flow_root, "Sintel flow")
         records = []
+        scenes = []
         for scene in sorted(os.listdir(img_root)):
             imgs = sorted(glob.glob(os.path.join(img_root, scene, "*.png")))
             for im1, im2 in zip(imgs[:-1], imgs[1:]):
@@ -149,10 +150,12 @@ class Sintel(FlowDataset):
                 fp = os.path.join(flow_root, scene, frame + ".flo")
                 if os.path.isfile(fp):
                     records.append(SampleRecord(im1=im1, im2=im2, flow=fp))
+                    scenes.append(scene)
         if not records:
             raise FileNotFoundError(f"no usable pairs under {root}")
-        # Scene-stable deterministic split.
-        self.records = self.split_records(records, split)
+        # Scene-stable deterministic split: whole scenes go to one side
+        # (record-level splitting leaks near-duplicate frames into val).
+        self.records = self.split_groups(records, scenes, split)
 
     def _load(self, rec: SampleRecord) -> Dict[str, np.ndarray]:
         return {

@@ -1,0 +1,202 @@
+"""Synthetic-motion dataset with *exact* dense ground-truth flow.
+
+Purpose (VERDICT round 1, next-round item #1): an end-to-end learning proof
+that validates the conventions no oracle test can touch — warp direction,
+u/v channel order, ``flow_scale``, loss scaling. The reference trains on
+FlyingChairs (reference ``datasets.py:~60-100``); with no ``/data`` on this
+machine we generate procedural image pairs whose flow is known analytically.
+
+Construction (standard synthetic-flow trick, done exactly):
+- A *continuous* texture ``T(x, y)`` — a sum of K random sinusoidal plane
+  waves — is evaluable at any real coordinate with zero interpolation error.
+- A smooth flow field ``u(x)`` = affine + Gaussian bumps (a thin-plate-like
+  deformation).
+- ``im2(x) = T(x)`` and ``im1(x) = T(x + u(x))``, so the standard optical
+  flow convention ``im1(x) = im2(x + u(x))`` holds *exactly* and GT = u.
+
+Two paths share the same math (`_render`, array-module generic):
+- Host: :class:`SyntheticFlow`, a registered ``FlowDataset`` (numpy) for
+  evaluation / API parity with the file-based datasets.
+- Device: :func:`make_device_batcher`, a jitted batch generator — the hot
+  training loop never touches the host (TPU-first; the reference's
+  DataLoader-worker analog collapses into the XLA program).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pwcnet_tpu.data.base import FlowDataset, register_dataset
+
+# Generative family constants (shared by host and device paths).
+N_WAVES = 24            # sinusoids per texture
+WAVELEN_RANGE = (8.0, 128.0)   # px, log-uniform
+TEX_STD = 0.18          # target per-channel texture std around 0.5
+N_BUMPS = 3             # Gaussian flow bumps
+BUMP_SIGMA = (16.0, 64.0)      # px
+BUMP_AMP = 5.0          # px, uniform +/-
+AFFINE_LIN = 0.02       # linear-part entries, uniform +/-
+AFFINE_SHIFT = 8.0      # translation, px, uniform +/-
+
+
+def _render(xp, hw: Tuple[int, int], p: Dict) -> Dict:
+    """Evaluate texture + flow on the pixel grid; array-module generic.
+
+    ``p`` holds wave params (fx, fy, phase: (K,), w: (K, 3)), affine params
+    (lin: (2, 2), shift: (2,)), and bump params (pos: (J, 2), sigma: (J,),
+    amp: (J, 2)). Returns im1, im2 (H, W, 3) in [0, 1] and flow (H, W, 2).
+    """
+    h, w = hw
+    if xp is jnp:
+        ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+        xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    else:
+        ys, xs = np.meshgrid(np.arange(h, dtype=np.float32),
+                             np.arange(w, dtype=np.float32), indexing="ij")
+
+    def texture(x, y):
+        # (K, H, W) phases -> (H, W, 3) image.
+        ph = (2.0 * math.pi) * (p["fx"][:, None, None] * x[None]
+                                + p["fy"][:, None, None] * y[None])
+        waves = xp.cos(ph + p["phase"][:, None, None])
+        img = 0.5 + xp.tensordot(waves, p["w"], axes=(0, 0))
+        return xp.clip(img, 0.0, 1.0)
+
+    # Flow field: affine about the image center + Gaussian bumps.
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    dx, dy = xs - cx, ys - cy
+    u = p["lin"][0, 0] * dx + p["lin"][0, 1] * dy + p["shift"][0]
+    v = p["lin"][1, 0] * dx + p["lin"][1, 1] * dy + p["shift"][1]
+    for j in range(N_BUMPS):
+        r2 = (xs - p["pos"][j, 0]) ** 2 + (ys - p["pos"][j, 1]) ** 2
+        g = xp.exp(-r2 / (2.0 * p["sigma"][j] ** 2))
+        u = u + p["amp"][j, 0] * g
+        v = v + p["amp"][j, 1] * g
+
+    im2 = texture(xs, ys)
+    im1 = texture(xs + u, ys + v)  # im1(x) = im2(x + u(x)), exactly
+    flow = xp.stack([u, v], axis=-1)
+    return {"im1": im1, "im2": im2, "flow": flow}
+
+
+def _host_params(rng: np.random.Generator) -> Dict[str, np.ndarray]:
+    lam = np.exp(rng.uniform(np.log(WAVELEN_RANGE[0]),
+                             np.log(WAVELEN_RANGE[1]), N_WAVES))
+    theta = rng.uniform(0, 2 * math.pi, N_WAVES)
+    sigma_w = TEX_STD * math.sqrt(2.0 / N_WAVES)
+    return {
+        "fx": (np.cos(theta) / lam).astype(np.float32),
+        "fy": (np.sin(theta) / lam).astype(np.float32),
+        "phase": rng.uniform(0, 2 * math.pi, N_WAVES).astype(np.float32),
+        "w": (rng.normal(0, sigma_w, (N_WAVES, 3))).astype(np.float32),
+        "lin": rng.uniform(-AFFINE_LIN, AFFINE_LIN, (2, 2)).astype(
+            np.float32),
+        "shift": rng.uniform(-AFFINE_SHIFT, AFFINE_SHIFT, 2).astype(
+            np.float32),
+        "pos": rng.uniform(0, 1, (N_BUMPS, 2)).astype(np.float32),  # scaled
+        "sigma": rng.uniform(*BUMP_SIGMA, N_BUMPS).astype(np.float32),
+        "amp": rng.uniform(-BUMP_AMP, BUMP_AMP, (N_BUMPS, 2)).astype(
+            np.float32),
+    }
+
+
+def _device_params(key: jax.Array) -> Dict[str, jax.Array]:
+    ks = jax.random.split(key, 8)
+    lam = jnp.exp(jax.random.uniform(
+        ks[0], (N_WAVES,), minval=math.log(WAVELEN_RANGE[0]),
+        maxval=math.log(WAVELEN_RANGE[1])))
+    theta = jax.random.uniform(ks[1], (N_WAVES,), maxval=2 * math.pi)
+    sigma_w = TEX_STD * math.sqrt(2.0 / N_WAVES)
+    return {
+        "fx": jnp.cos(theta) / lam,
+        "fy": jnp.sin(theta) / lam,
+        "phase": jax.random.uniform(ks[2], (N_WAVES,), maxval=2 * math.pi),
+        "w": sigma_w * jax.random.normal(ks[3], (N_WAVES, 3)),
+        "lin": jax.random.uniform(ks[4], (2, 2), minval=-AFFINE_LIN,
+                                  maxval=AFFINE_LIN),
+        "shift": jax.random.uniform(ks[5], (2,), minval=-AFFINE_SHIFT,
+                                    maxval=AFFINE_SHIFT),
+        "pos": jax.random.uniform(ks[6], (N_BUMPS, 2)),  # scaled by caller
+        "sigma": jax.random.uniform(ks[7], (N_BUMPS,), minval=BUMP_SIGMA[0],
+                                    maxval=BUMP_SIGMA[1]),
+        "amp": jax.random.uniform(jax.random.fold_in(ks[7], 1),
+                                  (N_BUMPS, 2), minval=-BUMP_AMP,
+                                  maxval=BUMP_AMP),
+    }
+
+
+def _scale_pos(p: Dict, hw: Tuple[int, int], xp) -> Dict:
+    """Bump positions are sampled in [0,1]^2; scale to pixel coordinates."""
+    q = dict(p)
+    q["pos"] = p["pos"] * xp.asarray([hw[1] - 1.0, hw[0] - 1.0],
+                                     dtype=p["pos"].dtype)
+    return q
+
+
+@register_dataset("synthetic")
+class SyntheticFlow(FlowDataset):
+    """Procedural image pairs with exact dense GT (host / numpy path).
+
+    ``root`` is accepted (and ignored) for registry-signature parity with
+    the file-based datasets. Samples are deterministic in
+    ``(seed, split, index)``: the val split draws from a disjoint key stream,
+    so it never overlaps training no matter the lengths.
+    """
+
+    def __init__(self, root: str = "-", split: str = "train",
+                 hw: Tuple[int, int] = (384, 448), length: int = 4000,
+                 val_length: int = 256, seed: int = 17):
+        self.hw = tuple(hw)
+        self.split = split
+        self.seed = seed
+        self._len = val_length if split == "val" else length
+
+    def __len__(self) -> int:
+        return self._len
+
+    def _load(self, rec):  # pragma: no cover - records are not used
+        raise NotImplementedError("SyntheticFlow generates samples")
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        if not 0 <= idx < self._len:
+            raise IndexError(idx)
+        stream = 1 if self.split == "val" else 0
+        rng = np.random.default_rng((self.seed, stream, idx))
+        p = _scale_pos(_host_params(rng), self.hw, np)
+        s = _render(np, self.hw, p)
+        s = {k: np.asarray(v, np.float32) for k, v in s.items()}
+        s["valid"] = np.ones(self.hw, np.float32)
+        return s
+
+
+def device_sample(key: jax.Array, hw: Tuple[int, int]) -> Dict[str, jax.Array]:
+    """One synthetic sample generated on device (jit/vmap friendly)."""
+    p = _scale_pos(_device_params(key), hw, jnp)
+    s = _render(jnp, hw, p)
+    s["valid"] = jnp.ones(hw, jnp.float32)
+    return s
+
+
+def make_device_batcher(global_batch: int, hw: Tuple[int, int],
+                        seed: int = 17, mesh=None):
+    """Jitted ``step -> batch`` generator, sharded over the mesh's data axis.
+
+    Deterministic in (seed, step) — a resumed run regenerates the identical
+    stream (same property the host ``Loader`` guarantees). The key stream is
+    disjoint from both host splits (stream tag 2).
+    """
+    base = jax.random.fold_in(jax.random.key(seed), 2)
+
+    def gen(step):
+        keys = jax.random.split(jax.random.fold_in(base, step), global_batch)
+        return jax.vmap(lambda k: device_sample(k, hw))(keys)
+
+    if mesh is not None:
+        from pwcnet_tpu.parallel import batch_sharding
+        return jax.jit(gen, out_shardings=batch_sharding(mesh))
+    return jax.jit(gen)

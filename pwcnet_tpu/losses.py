@@ -41,26 +41,41 @@ def downsample_gt(gt: jax.Array, hw: Tuple[int, int],
                   ) -> Tuple[jax.Array, jax.Array | None]:
     """Downsample full-res GT flow (N, H, W, 2) to ``hw`` in scaled units.
 
-    A validity mask (N, H, W) is downsampled alongside; downstream losses
-    weight by it (sparse KITTI GT).
+    With a validity mask (sparse KITTI GT, reference ``datasets.py:~185-230``)
+    the GT is downsampled *mask-weighted*: each coarse pixel is the average of
+    the valid fine pixels under its bilinear support, and the returned weight
+    is the (continuous) fraction of valid support. This keeps supervision
+    alive at coarse levels — a hard ``>= 0.999`` threshold on the bilinear
+    mask would zero essentially every coarse pixel for scattered sparse GT
+    (any invalid neighbor taints the mix), silently removing the strongly
+    weighted coarse loss terms.
     """
     n = gt.shape[0]
-    gt_l = jax.image.resize(gt, (n, hw[0], hw[1], 2), method="bilinear")
-    gt_l = gt_l / flow_scale
     if valid is None:
-        return gt_l, None
-    v_l = jax.image.resize(valid.astype(jnp.float32), (n, hw[0], hw[1]),
-                           method="bilinear")
-    # Any bilinear mixing with invalid pixels taints the sample.
-    return gt_l, (v_l >= 0.999).astype(jnp.float32)
+        gt_l = jax.image.resize(gt, (n, hw[0], hw[1], 2), method="bilinear")
+        return gt_l / flow_scale, None
+    v = valid.astype(jnp.float32)
+    v_l = jax.image.resize(v, (n, hw[0], hw[1]), method="bilinear")
+    gt_w = jax.image.resize(gt * v[..., None], (n, hw[0], hw[1], 2),
+                            method="bilinear")
+    gt_l = gt_w / jnp.maximum(v_l, 1e-6)[..., None]
+    return gt_l / flow_scale, v_l
 
 
 def _masked_pixel_sum(per_pixel: jax.Array,
                       valid: jax.Array | None) -> jax.Array:
-    """Sum per-pixel values over (H, W), mean over batch; mask-aware."""
-    if valid is not None:
-        per_pixel = per_pixel * valid
-    return jnp.mean(jnp.sum(per_pixel, axis=(1, 2)))
+    """Per-level loss term: sum over (H, W), mean over batch.
+
+    With a (possibly fractional) validity weight the term is
+    *count-normalized*: ``mean_over_valid * H * W`` — identical to the plain
+    sum for dense GT, and scale-consistent across levels and mask densities
+    for sparse GT (the sum is estimated as if the GT were dense)."""
+    if valid is None:
+        return jnp.mean(jnp.sum(per_pixel, axis=(1, 2)))
+    hw = per_pixel.shape[1] * per_pixel.shape[2]
+    num = jnp.sum(per_pixel * valid, axis=(1, 2))
+    den = jnp.maximum(jnp.sum(valid, axis=(1, 2)), 1.0)
+    return jnp.mean(num / den * hw)
 
 
 def multiscale_loss(flows: List[jax.Array], gt: jax.Array,

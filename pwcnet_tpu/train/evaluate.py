@@ -51,17 +51,27 @@ def evaluate_dataset(model: PWCNet, params, dataset: FlowDataset,
                      batch: int = 4, mesh=None,
                      pad_to: Optional[Tuple[int, int]] = None,
                      limit: Optional[int] = None) -> Dict[str, float]:
-    """Mean EPE over a dataset (validity-masked; padding is masked too)."""
+    """Mean EPE + Fl-all over a dataset (validity-masked; padding too).
+
+    The per-batch sums are accumulated ON DEVICE and fetched once at the
+    end: a per-batch ``float()`` would synchronize the host every batch and
+    serialize eval through a high-latency device link (e.g. a remote-TPU
+    tunnel); async accumulation lets batch k+1 upload while k computes.
+    """
     step = make_eval_step(model, mesh=mesh)
-    num = 0.0
-    den = 0.0
+    s_tot = o_tot = c_tot = None
     from pwcnet_tpu.parallel import shard_batch
     for b in eval_batches(dataset, batch, pad_to=pad_to, limit=limit):
         if mesh is not None:
             b = shard_batch(mesh, b)
         else:
             b = jax.device_put(b)
-        s, c = step(params, b)
-        num += float(s)
-        den += float(c)
-    return {"epe": num / max(den, 1.0), "num_valid_px": den}
+        s, o, c = step(params, b)
+        if s_tot is None:
+            s_tot, o_tot, c_tot = s, o, c
+        else:  # device-side lazy accumulate — no host sync per batch
+            s_tot, o_tot, c_tot = s_tot + s, o_tot + o, c_tot + c
+    num, out, den = (float(x) for x in jax.device_get((s_tot, o_tot, c_tot)))
+    den = max(den, 1.0)
+    return {"epe": num / den, "fl_all": 100.0 * out / den,
+            "num_valid_px": den}

@@ -71,9 +71,17 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
     lr_sched = make_lr_schedule(cfg.train.schedule)
 
     # --- datasets ---
-    train_ds = get_dataset(cfg.data.name, cfg.data.root, split="train")
+    use_devgen = cfg.data.device_gen and cfg.data.name == "synthetic"
+    # The synthetic dataset takes its sample size from the config (file
+    # datasets get theirs from the files + host collation).
+    ds_kw = ({"hw": cfg.data.sample_hw} if cfg.data.name == "synthetic"
+             else {})
+    train_ds = (None if use_devgen else
+                get_dataset(cfg.data.name, cfg.data.root, split="train",
+                            **ds_kw))
     try:
-        val_ds = get_dataset(cfg.data.name, cfg.data.root, split="val")
+        val_ds = get_dataset(cfg.data.name, cfg.data.root, split="val",
+                             **ds_kw)
     except (FileNotFoundError, ValueError):
         val_ds = None
 
@@ -107,15 +115,25 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
         state = jax.device_put(state, rep)
     start_step = int(jax.device_get(state.step))
 
-    step_fn = make_train_step(model, tx, aug=cfg.data.augment,
+    # Device-generated synthetic batches need no augmentation (every sample
+    # is a fresh draw already) and no host loader at all.
+    step_fn = make_train_step(model, tx,
+                              aug=None if use_devgen else cfg.data.augment,
                               loss_kind=cfg.train.loss, mesh=mesh)
 
-    loader = Loader(
-        train_ds, cfg.train.global_batch,
-        sample_hw=cfg.data.sample_hw, seed=cfg.train.seed,
-        num_threads=cfg.data.num_threads, start_step=start_step,
-        process_index=jax.process_index(),
-        process_count=jax.process_count())
+    if use_devgen:
+        from pwcnet_tpu.data.synthetic import make_device_batcher
+        batcher = make_device_batcher(
+            cfg.train.global_batch, cfg.data.augment.crop_hw,
+            seed=cfg.train.seed, mesh=mesh)
+        loader = None
+    else:
+        loader = Loader(
+            train_ds, cfg.train.global_batch,
+            sample_hw=cfg.data.sample_hw, seed=cfg.train.seed,
+            num_threads=cfg.data.num_threads, start_step=start_step,
+            process_index=jax.process_index(),
+            process_count=jax.process_count())
 
     writer = MetricsWriter(cfg.train.log_dir)
     total = cfg.train.schedule.total_steps
@@ -130,10 +148,11 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
     final_metrics: dict = {}
     step = start_step
     try:
-        for batch in loader:
-            if step >= total:
-                break
-            gbatch = shard_batch(mesh, batch)
+        while step < total:
+            if loader is None:
+                gbatch = batcher(jnp.uint32(step))
+            else:
+                gbatch = shard_batch(mesh, next(loader))
             state, metrics = step_fn(state, gbatch)
             step += 1
             pairs_since += cfg.train.global_batch
@@ -157,8 +176,10 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
                 ev = evaluate_dataset(model, state.params, val_ds,
                                       batch=cfg.data.eval_batch, mesh=mesh,
                                       limit=cfg.train.eval_limit)
-                writer.scalars(step, {"val_epe": ev["epe"]})
+                writer.scalars(step, {"val_epe": ev["epe"],
+                                      "val_fl_all": ev["fl_all"]})
                 final_metrics["val_epe"] = ev["epe"]
+                final_metrics["val_fl_all"] = ev["fl_all"]
                 # Qualitative flow summaries (reference main.py:~160-185
                 # vis_flow images): prediction vs GT on one val sample.
                 if jax.process_index() == 0:
@@ -180,7 +201,8 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
             if step % cfg.train.checkpoint_interval == 0 or step == total:
                 ckpt.save(jax.device_get(state))
     finally:
-        loader.close()
+        if loader is not None:
+            loader.close()
         if cfg.train.profile_dir and jax.process_index() == 0:
             jax.profiler.stop_trace()
         ckpt.wait()

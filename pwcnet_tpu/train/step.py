@@ -82,15 +82,15 @@ def make_train_step(model, tx: optax.GradientTransformation,
         # full-res pixels (cheap; exact full-res EPE lives in evaluate.py).
         # PWCNet: scaled units * flow_scale; RAFT: level-res pixels * stride.
         finest = flows[-1]
-        n = finest.shape[0]
         to_px = (model.flow_scale if hasattr(model, "flow_scale")
                  else batch["im1"].shape[1] / finest.shape[1])
-        gt_small = jax.image.resize(
-            batch["flow"], (n,) + finest.shape[1:3] + (2,), "bilinear")
-        v_small = jax.image.resize(
-            batch["valid"], (n,) + finest.shape[1:3], "bilinear")
-        train_epe = epe(finest * to_px, gt_small,
-                        (v_small >= 0.999).astype(jnp.float32))
+        # Mask-weighted GT downsample (continuous fractional weights — keeps
+        # sparse-GT supervision meaningful; see losses.downsample_gt).
+        from pwcnet_tpu.losses import downsample_gt
+        gt_small, v_small = downsample_gt(
+            batch["flow"], finest.shape[1:3], flow_scale=1.0,
+            valid=batch["valid"])
+        train_epe = epe(finest * to_px, gt_small, v_small)
         grad_norm = optax.global_norm(grads)
         if distributed:
             train_epe = jax.lax.pmean(train_epe, DATA_AXIS)
@@ -111,10 +111,13 @@ def make_train_step(model, tx: optax.GradientTransformation,
 
 
 def make_eval_step(model: PWCNet, mesh=None) -> Callable:
-    """Jitted eval: forward + full-res EPE sums on an (already padded) batch.
+    """Jitted eval: forward + full-res EPE / Fl-outlier sums on an (already
+    padded) batch.
 
-    Returns (sum_epe, num_valid) so callers average over a dataset exactly;
-    with a mesh the sums are psum-ed over the data axis.
+    Returns (sum_epe, sum_outliers, num_valid) so callers average over a
+    dataset exactly; with a mesh the sums are psum-ed over the data axis.
+    Outliers follow the KITTI Fl-all definition (devkit): EPE > 3 px AND
+    EPE > 5% of the GT flow magnitude.
     """
 
     def local_step(params, batch):
@@ -123,19 +126,22 @@ def make_eval_step(model: PWCNet, mesh=None) -> Callable:
         full = model.full_res_flow(flows, hw)
         diff = full - batch["flow"]
         dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-16)
+        gt_mag = jnp.sqrt(jnp.sum(batch["flow"] ** 2, axis=-1) + 1e-16)
+        outlier = ((dist > 3.0) & (dist > 0.05 * gt_mag)).astype(jnp.float32)
         v = batch["valid"]
-        s, c = jnp.sum(dist * v), jnp.sum(v)
+        s, o, c = jnp.sum(dist * v), jnp.sum(outlier * v), jnp.sum(v)
         if mesh is not None:
             s = jax.lax.psum(s, DATA_AXIS)
+            o = jax.lax.psum(o, DATA_AXIS)
             c = jax.lax.psum(c, DATA_AXIS)
-        return s, c
+        return s, o, c
 
     if mesh is None:
         return jax.jit(local_step)
     sharded = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=(P(), P(DATA_AXIS)),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P()),
         check_vma=False,
     )
     return jax.jit(sharded)
