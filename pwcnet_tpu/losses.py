@@ -121,6 +121,18 @@ def epe(pred: jax.Array, gt: jax.Array,
     return jnp.sum(dist * v) / jnp.maximum(jnp.sum(v), 1.0)
 
 
+def fl_outliers(pred: jax.Array, gt: jax.Array) -> jax.Array:
+    """KITTI Fl outlier indicator per pixel (devkit definition): a pixel is
+    an outlier when EPE > 3 px AND EPE > 5% of the GT flow magnitude.
+    ``pred``/``gt``: (..., 2) pixel flow; returns (...) float32 in {0, 1}.
+    (Reference capability: KITTI-2015 Fl-all headline metric, BASELINE.md.)
+    """
+    diff = pred.astype(jnp.float32) - gt.astype(jnp.float32)
+    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-16)
+    gt_mag = jnp.sqrt(jnp.sum(gt.astype(jnp.float32) ** 2, axis=-1) + 1e-16)
+    return ((dist > 3.0) & (dist > 0.05 * gt_mag)).astype(jnp.float32)
+
+
 def sequence_loss(flows: List[jax.Array], gt: jax.Array,
                   valid: jax.Array | None = None,
                   gamma: float = 0.8,

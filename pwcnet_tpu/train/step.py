@@ -20,7 +20,8 @@ import optax
 from jax.sharding import PartitionSpec as P
 
 from pwcnet_tpu.data.augment import AugmentConfig, augment_batch
-from pwcnet_tpu.losses import epe, multiscale_loss, robust_loss, sequence_loss
+from pwcnet_tpu.losses import (epe, fl_outliers, multiscale_loss,
+                               robust_loss, sequence_loss)
 from pwcnet_tpu.models import PWCNet
 from pwcnet_tpu.parallel import DATA_AXIS
 from pwcnet_tpu.train.state import TrainState
@@ -126,8 +127,7 @@ def make_eval_step(model: PWCNet, mesh=None) -> Callable:
         full = model.full_res_flow(flows, hw)
         diff = full - batch["flow"]
         dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-16)
-        gt_mag = jnp.sqrt(jnp.sum(batch["flow"] ** 2, axis=-1) + 1e-16)
-        outlier = ((dist > 3.0) & (dist > 0.05 * gt_mag)).astype(jnp.float32)
+        outlier = fl_outliers(full, batch["flow"])
         v = batch["valid"]
         s, o, c = jnp.sum(dist * v), jnp.sum(outlier * v), jnp.sum(v)
         if mesh is not None:

