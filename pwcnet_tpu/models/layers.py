@@ -67,7 +67,7 @@ class StemConvs(nn.Module):
     backend: str = "auto"  # 'pallas' | 'lax' | 'auto'
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, *, train: bool = True) -> jax.Array:
         from pwcnet_tpu.ops.pallas.stem_kernel import stem_pallas, stem_ref
         params = []
         cin = x.shape[-1]

@@ -99,12 +99,11 @@ def _stem_kernel(x0_ref, x1_ref, w1_ref, w2_ref, w3_ref, w4_ref,
                  b1_ref, b2_ref, b3_ref, b4_ref, out_ref,
                  xs, e1, f1, e2, f2, e3, f3, e4, *,
                  t: int, g1: int, c1: int, c2: int, wg: int,
-                 h1: int, h2: int, top: int):
+                 h1: int, h2: int):
     """One tile: level-2 output rows [i*t, i*t + t)."""
     i = pl.program_id(1)
     g2 = g1 // 2
     cim = 6  # folded image lanes per pair (2 * 3)
-    slope = jnp.bfloat16(0.1)
 
     def lrelu(x):
         return jnp.where(x >= 0, x, 0.1 * x)
@@ -199,10 +198,19 @@ def _stem_kernel(x0_ref, x1_ref, w1_ref, w2_ref, w3_ref, w4_ref,
 # ---------------------------------------------------------------------------
 
 def _pick_g1(w: int, c1: int) -> int:
-    g = 2
-    while (g < 16 and c1 * g * 2 <= 128 and (w // 2) % (g * 2) == 0
-           and (w // 2 // (g * 2)) % 8 == 0):
-        g *= 2
+    """Largest valid lane-group count for width ``w``; **0** when even the
+    base g=2 fold is invalid (callers must fall back to the XLA chain).
+
+    A group count g is valid iff the folded width splits evenly
+    ((w/2) % g == 0), the per-group width is sublane-aligned (wg % 8 == 0),
+    and the widest lane dimension fits (c1 * g <= 128).
+    """
+    g = 0
+    cand = 2
+    while (cand <= 16 and c1 * cand <= 128 and (w // 2) % cand == 0
+           and ((w // 2) // cand) % 8 == 0):
+        g = cand
+        cand *= 2
     return g
 
 
@@ -213,6 +221,7 @@ def _stem_impl(im: jax.Array, params: Params, interpret: bool) -> jax.Array:
     assert cin == 3 and w % 2 == 0 and h % 4 == 0
     h1, h2 = h // 2, h // 4
     g1 = _pick_g1(w, c1)
+    assert g1 >= 2, "caller must route unfoldable widths to stem_ref"
     g2 = g1 // 2
     wg = (w // 2) // g1
     s = im.dtype.itemsize
@@ -257,7 +266,7 @@ def _stem_impl(im: jax.Array, params: Params, interpret: bool) -> jax.Array:
                                    memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_stem_kernel, t=t, g1=g1, c1=c1, c2=c2, wg=wg,
-                          h1=h1, h2=h2, top=6),
+                          h1=h1, h2=h2),
         out_shape=jax.ShapeDtypeStruct((n, n_tiles * t, wg, g2 * c2), dt),
         grid=(n, n_tiles),
         in_specs=[blk(0), blk(1), wspec(wm1), wspec(wm2), wspec(wm3),
@@ -321,6 +330,13 @@ def stem_pallas(im: jax.Array, params: Params, *,
     n, h, w, cin = im.shape
     if (cin != 3 or h % 4 or w % 2 or _pick_g1(w, params[0][0].shape[-1]) < 2
             or (h // 4) < 8):
+        return stem_ref(im, params)
+    # f32 guard: XLA's memory-space assignment may stack-allocate the whole
+    # kernel output in VMEM (observed at batch 16, 384x448 f32: a 22 MB
+    # S(1) buffer OOMs the 16 MB scope). bf16 halves it and is the
+    # production dtype; route large f32 outputs to the XLA chain instead.
+    c2 = params[2][0].shape[-1]
+    if im.dtype.itemsize >= 4 and n * (h // 4) * (w // 4) * c2 * 4 > 2**23:
         return stem_ref(im, params)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

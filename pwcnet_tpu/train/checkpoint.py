@@ -17,6 +17,46 @@ import orbax.checkpoint as ocp
 from pwcnet_tpu.train.state import TrainState
 
 
+def remap_stem_params(extractor_params: dict, to_fused: bool) -> dict:
+    """Convert a ``FeaturePyramidExtractor`` parameter subtree between the
+    plain layout (``ConvBlock_0..``, min_level=1 or use_norm) and the fused
+    layout (``StemConvs_0`` + ``ConvBlock_0..``, min_level>=2).
+
+    The four stem convs map 1:1: ``StemConvs_0/conv{i}_kernel`` <->
+    ``ConvBlock_{i-1}/Conv_0/kernel`` (same for biases); the remaining
+    ConvBlocks shift index by 4. Use this to load checkpoints written with
+    one layout into a model configured with the other (e.g. a round-1
+    checkpoint predating the fused stem, or after an ``output_level`` /
+    ``use_norm`` change; ADVICE r1 #3).
+    """
+    src = dict(extractor_params)
+    out: dict = {}
+    if to_fused:
+        stem = {}
+        for i in range(4):
+            blk = src.pop(f"ConvBlock_{i}")["Conv_0"]
+            stem[f"conv{i + 1}_kernel"] = blk["kernel"]
+            stem[f"conv{i + 1}_bias"] = blk["bias"]
+        out["StemConvs_0"] = stem
+        for k, v in src.items():
+            if k.startswith("ConvBlock_"):
+                out[f"ConvBlock_{int(k.split('_')[1]) - 4}"] = v
+            else:
+                out[k] = v
+        return out
+    stem = src.pop("StemConvs_0")
+    for i in range(4):
+        out[f"ConvBlock_{i}"] = {"Conv_0": {
+            "kernel": stem[f"conv{i + 1}_kernel"],
+            "bias": stem[f"conv{i + 1}_bias"]}}
+    for k, v in src.items():
+        if k.startswith("ConvBlock_"):
+            out[f"ConvBlock_{int(k.split('_')[1]) + 4}"] = v
+        else:
+            out[k] = v
+    return out
+
+
 class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: int = 5,
                  save_interval_steps: int = 1):

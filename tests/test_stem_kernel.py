@@ -40,13 +40,25 @@ def test_stem_bf16_close_to_f32_oracle():
                                rtol=0.1, atol=0.1)
 
 
-def test_stem_odd_width_falls_back():
+@pytest.mark.parametrize("w", [70, 72])
+def test_stem_unfoldable_width_falls_back(w, monkeypatch):
+    """Widths whose fold is invalid (W=70: W/2 odd; W=72: wg=18 not
+    sublane-aligned) must take the stem_ref fallback — asserted by making
+    the Pallas implementation explode if entered (ADVICE r1: the previous
+    test passed even when the kernel WAS invoked)."""
+    import pwcnet_tpu.ops.pallas.stem_kernel as sk
+
+    def boom(*a, **k):  # pragma: no cover - must not be reached
+        raise AssertionError("Pallas stem entered for unfoldable width")
+
+    monkeypatch.setattr(sk, "_stem", boom)
     rng = np.random.default_rng(2)
-    x = jnp.asarray(rng.random((1, 64, 72, 3)), jnp.float32)  # W/2=36: g1<2
+    x = jnp.asarray(rng.random((1, 64, w, 3)), jnp.float32)
     p = _params(rng)
-    got = stem_pallas(x, p)
+    got = sk.stem_pallas(x, p)
     want = stem_ref(x, p)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+    assert sk._pick_g1(w, 16) == 0
 
 
 def test_stem_gradients_match_lax():
@@ -82,6 +94,28 @@ def test_extractor_fused_stem_matches_plain():
     for a, b in zip(fp, fl):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_remap_stem_params_roundtrip_and_equivalence():
+    """Checkpoints written with the plain ConvBlock extractor layout load
+    into the fused StemConvs layout (and back) via remap_stem_params."""
+    from pwcnet_tpu.models.pwcnet import FeaturePyramidExtractor
+    from pwcnet_tpu.train.checkpoint import remap_stem_params
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+    ext_plain = FeaturePyramidExtractor(channels=(16, 32, 64), min_level=1)
+    ext_fused = FeaturePyramidExtractor(channels=(16, 32, 64), min_level=2,
+                                        stem_backend="lax")
+    p_plain = ext_plain.init(jax.random.key(0), x)["params"]
+    p_fused = remap_stem_params(p_plain, to_fused=True)
+    feats_plain = ext_plain.apply({"params": p_plain}, x)
+    feats_fused = ext_fused.apply({"params": p_fused}, x)
+    for a, b in zip(feats_plain[:2], feats_fused):  # shared levels 3, 2
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    back = remap_stem_params(p_fused, to_fused=False)
+    for pa, pb in zip(jax.tree.leaves(p_plain), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
 
 
 def test_extractor_min_level_one_keeps_full_pyramid():
