@@ -148,6 +148,13 @@ class PWCNet(nn.Module):
       residual: estimator predicts an increment on the upsampled flow.
       corr_backend: 'lax' | 'pallas' correlation implementation.
       flow_scale: supervision scaling (PWC-Net paper: 20).
+      spatial_axis: when set (e.g. "spatial"), the warp + correlation step
+        runs as a shard_map island with lax.ppermute ring halo exchange
+        over that mesh axis (``pwcnet_tpu/parallel/halo.py``) so the Pallas
+        kernel works with H-sharded activations. Requires an ambient mesh
+        (``jax.set_mesh``) and H divisible per parallel.spatial rules.
+      spatial_halo: halo rows exchanged per level (bounds the warp's
+        vertical reach across shards; see halo.py contract).
     """
 
     num_levels: int = 6
@@ -159,6 +166,8 @@ class PWCNet(nn.Module):
     corr_backend: str = "lax"
     stem_backend: str = "auto"
     flow_scale: float = 20.0
+    spatial_axis: Any = None
+    spatial_halo: int = 16
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -214,16 +223,25 @@ class PWCNet(nn.Module):
             f1, f2 = pyr1[i], pyr2[i]
             if flow is None:
                 up_flow = jnp.zeros(f1.shape[:3] + (2,), jnp.float32)
-                warped2 = f2
+                pix = None
             else:
                 up_flow = upsample2x(flow)
                 # scaled units -> pixels at this level.
                 pix = up_flow * (self.flow_scale / (2.0 ** level))
-                warped2 = warp_bilinear(f2, pix)
 
-            corr = cost_volume(f1, warped2,
-                               max_displacement=self.search_range,
-                               backend=self.corr_backend)
+            if self.spatial_axis is not None:
+                # H-sharded: shard_map + ppermute halo exchange keeps the
+                # Pallas kernel usable (GSPMD cannot partition it).
+                from pwcnet_tpu.parallel.halo import warp_corr_spatial
+                corr = warp_corr_spatial(
+                    f1, f2, pix, max_displacement=self.search_range,
+                    halo_rows=self.spatial_halo, axis=self.spatial_axis,
+                    backend=self.corr_backend)
+            else:
+                warped2 = f2 if pix is None else warp_bilinear(f2, pix)
+                corr = cost_volume(f1, warped2,
+                                   max_displacement=self.search_range,
+                                   backend=self.corr_backend)
             corr = leaky_relu(corr)
             x = jnp.concatenate(
                 [corr, f1, up_flow.astype(self.dtype)], axis=-1)

@@ -51,6 +51,44 @@ def cost_volume_lax(f1: jax.Array, f2: jax.Array,
     return jnp.stack(outs, axis=-1).astype(f1.dtype)
 
 
+def cost_volume_prepadded_lax(f1: jax.Array, f2e: jax.Array,
+                              max_displacement: int = 4) -> jax.Array:
+    """Correlation where ``f2e`` carries ``d`` extra REAL rows on each side
+    (halo rows from ring neighbors in the spatially-sharded path,
+    ``pwcnet_tpu/parallel/halo.py``) instead of zero padding.
+
+    f1: (N, H, W, C); f2e: (N, H + 2d, W, C) covering rows [-d, H+d).
+    """
+    n, h, w, c = f1.shape
+    d = max_displacement
+    if f2e.shape[1] != h + 2 * d:
+        raise ValueError(
+            f"f2e must have H + 2d = {h + 2 * d} rows, got {f2e.shape[1]}")
+    f1f = f1.astype(jnp.float32)
+    f2p = jnp.pad(f2e.astype(jnp.float32), ((0, 0), (0, 0), (d, d), (0, 0)))
+    outs = []
+    for dy in range(2 * d + 1):
+        for dx in range(2 * d + 1):
+            shifted = jax.lax.dynamic_slice(
+                f2p, (0, dy, dx, 0), (n, h, w, c))
+            outs.append(jnp.mean(f1f * shifted, axis=-1))
+    return jnp.stack(outs, axis=-1).astype(f1.dtype)
+
+
+def cost_volume_prepadded(f1: jax.Array, f2e: jax.Array, *,
+                          max_displacement: int = 4,
+                          backend: str = "lax") -> jax.Array:
+    """Backend dispatch for the halo-prepadded correlation."""
+    if backend == "lax":
+        return cost_volume_prepadded_lax(f1, f2e, max_displacement)
+    if backend == "pallas":
+        from pwcnet_tpu.ops.pallas.cost_volume_kernel import (
+            cost_volume_pallas_prepadded)
+        return cost_volume_pallas_prepadded(
+            f1, f2e, max_displacement=max_displacement)
+    raise ValueError(f"unknown cost-volume backend {backend!r}")
+
+
 @functools.partial(jax.jit, static_argnames=("max_displacement", "backend"))
 def cost_volume(f1: jax.Array, f2: jax.Array, *,
                 max_displacement: int = 4,

@@ -121,7 +121,11 @@ def _corr_fwd_kernel(f1_ref, f2a_ref, f2b_ref, out_ref, f2x, *, d: int,
 
 
 def _corr_forward_pallas(f1: jax.Array, f2: jax.Array, d: int,
-                         interpret: bool) -> jax.Array:
+                         interpret: bool,
+                         rows_prepadded: bool = False) -> jax.Array:
+    """Forward kernel launch. With ``rows_prepadded`` the caller supplies
+    ``f2`` with d REAL rows above and below (halo rows in the spatially
+    sharded path) instead of this function zero-padding them."""
     n, h, w, c = f1.shape
     side = 2 * d + 1
     itemsize = f1.dtype.itemsize
@@ -129,7 +133,12 @@ def _corr_forward_pallas(f1: jax.Array, f2: jax.Array, d: int,
                _round_up(h, 8))
     n_tiles = _cdiv(h, tile)
     f1cf = _to_cf(f1)
-    f2cf = _pad_rows(_to_cf(f2), d, tile, n_tiles, h)
+    if rows_prepadded:
+        bottom = (n_tiles * tile - h) + tile
+        f2cf = jnp.pad(_to_cf(f2),
+                       ((0, 0), (0, 0), (0, bottom), (d, d)))
+    else:
+        f2cf = _pad_rows(_to_cf(f2), d, tile, n_tiles, h)
     wp = w + 2 * d
 
     halo_spec = lambda off: pl.BlockSpec(
@@ -272,6 +281,48 @@ def _cv_bwd(d, interpret, res, g):
 
 
 _cost_volume_pallas.defvjp(_cv_fwd, _cv_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _cost_volume_pallas_pre(f1, f2e, d, interpret):
+    return _corr_forward_pallas(f1, f2e, d, interpret, rows_prepadded=True)
+
+
+def _cv_pre_fwd(f1, f2e, d, interpret):
+    return _cost_volume_pallas_pre(f1, f2e, d, interpret), (f1, f2e)
+
+
+def _cv_pre_bwd(d, interpret, res, g):
+    # Backward composes from lax ops (exact; the spatially-sharded path is
+    # inference-first — a hand-written prepadded backward kernel can land
+    # later without changing this interface).
+    f1, f2e = res
+    from pwcnet_tpu.ops.cost_volume import cost_volume_prepadded_lax
+    _, vjp = jax.vjp(
+        lambda a, b: cost_volume_prepadded_lax(a, b, d), f1, f2e)
+    return vjp(g)
+
+
+_cost_volume_pallas_pre.defvjp(_cv_pre_fwd, _cv_pre_bwd)
+
+
+def cost_volume_pallas_prepadded(f1: jax.Array, f2e: jax.Array, *,
+                                 max_displacement: int = 4,
+                                 interpret: bool | None = None) -> jax.Array:
+    """Pallas correlation with d REAL halo rows already attached to ``f2e``
+    (rows [-d, H+d); see ``pwcnet_tpu/parallel/halo.py``)."""
+    n, h, w, c = f1.shape
+    d = max_displacement
+    side = 2 * d + 1
+    if f2e.shape[1] != h + 2 * d:
+        raise ValueError(
+            f"f2e must have H + 2d = {h + 2 * d} rows, got {f2e.shape[1]}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if _pick_tile(w, c, side * side, d, f1.dtype.itemsize) is None:
+        from pwcnet_tpu.ops.cost_volume import cost_volume_prepadded_lax
+        return cost_volume_prepadded_lax(f1, f2e, d)
+    return _cost_volume_pallas_pre(f1, f2e, d, interpret)
 
 
 def cost_volume_pallas(f1: jax.Array, f2: jax.Array, *,

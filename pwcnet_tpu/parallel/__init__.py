@@ -11,6 +11,10 @@ from pwcnet_tpu.parallel.mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
+from pwcnet_tpu.parallel.halo import (  # noqa: F401
+    exchange_halo,
+    warp_corr_spatial,
+)
 from pwcnet_tpu.parallel.spatial import (  # noqa: F401
     pad_for_spatial,
     spatial_forward,

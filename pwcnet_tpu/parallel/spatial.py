@@ -1,14 +1,17 @@
 """Spatial (image-H) sharding — the sequence/context-parallel analog for
 conv/correlation nets (SURVEY.md §2b "SP/CP").
 
-Design: this is the GSPMD path. The forward runs under ``jit`` with the
-images sharded over the ``spatial`` mesh axis (H dimension) and params
-replicated; XLA's spatial partitioner inserts the conv halo exchanges
-(collective-permutes of boundary rows over ICI) and reshards the
-warp gathers automatically — the scaling-book recipe: annotate shardings,
-let XLA insert collectives. The correlation must use the ``lax`` backend
-here (a Pallas custom call is opaque to GSPMD; the lax cost volume is
-pad/slice/mul/reduce, all partitionable).
+Two cooperating mechanisms:
+- **GSPMD** partitions the convolutions: the forward runs under ``jit``
+  with images sharded over the ``spatial`` mesh axis (H) and params
+  replicated; XLA inserts the conv boundary collectives automatically —
+  the scaling-book recipe: annotate shardings, let XLA insert collectives.
+- **shard_map + ppermute halo islands** handle warp + correlation
+  (``pwcnet_tpu/parallel/halo.py``): a Pallas custom call is opaque to
+  GSPMD, so with ``corr_backend='pallas'`` the model is given
+  ``spatial_axis`` and each level's warp+corr runs shard-locally on
+  ring-exchanged halo rows. The ``lax`` backend needs no islands (its
+  pad/slice/mul/reduce ops are all GSPMD-partitionable).
 
 Use cases: full-resolution Sintel/KITTI inference whose activations
 don't fit one chip, and latency scaling of single-pair inference. DP
@@ -49,9 +52,15 @@ def spatial_forward(model: PWCNet, params, mesh: Mesh,
     Returns (per-level flows, full-res pixel flow), both replicated.
     ``im1``/``im2``: (N, H, W, 3) with H divisible by
     :func:`required_divisor`.
+
+    ``corr_backend='pallas'`` runs the production kernel shard-locally via
+    the halo-exchange islands (``parallel/halo.py``); ``'lax'`` runs pure
+    GSPMD. NOTE the halo contract: per level the warp's vertical reach
+    across a shard edge is bounded by ``model.spatial_halo`` rows.
     """
-    if model.corr_backend != "lax":
-        model = dataclasses.replace(model, corr_backend="lax")
+    from pwcnet_tpu.parallel.mesh import SPATIAL_AXIS as _SP
+    if model.corr_backend == "pallas" and model.spatial_axis is None:
+        model = dataclasses.replace(model, spatial_axis=_SP)
     h = im1.shape[1]
     div = required_divisor(model, mesh)
     if h % div:
@@ -72,7 +81,9 @@ def spatial_forward(model: PWCNet, params, mesh: Mesh,
         return flows, full
 
     # jit infers the mesh from the input NamedShardings; GSPMD propagates.
-    flows, full = fwd(params, im1, im2)
+    # set_mesh provides the ambient mesh the halo shard_map islands bind to.
+    with jax.set_mesh(mesh):
+        flows, full = fwd(params, im1, im2)
     return flows, full
 
 

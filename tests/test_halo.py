@@ -1,0 +1,155 @@
+"""Halo-exchange spatial sharding tests (VERDICT r1 #5): the shard_map +
+ppermute warp+corr islands must reproduce the unsharded composition exactly
+— including with the Pallas correlation backend, which GSPMD cannot
+partition — on the fake 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from pwcnet_tpu.models import PWCNet
+from pwcnet_tpu.ops.cost_volume import (cost_volume_lax,
+                                        cost_volume_prepadded_lax)
+from pwcnet_tpu.ops.warp import warp_bilinear
+from pwcnet_tpu.parallel import (MeshConfig, SPATIAL_AXIS, exchange_halo,
+                                 make_mesh, warp_corr_spatial)
+
+
+@pytest.fixture(scope="module")
+def smesh():
+    return make_mesh(MeshConfig(data=1, spatial=4))
+
+
+def _sharded(mesh, x):
+    return jax.device_put(x, NamedSharding(mesh, P(None, SPATIAL_AXIS)))
+
+
+def test_exchange_halo_values_and_edges(smesh):
+    x = jnp.arange(16.0).reshape(1, 16, 1, 1)  # global rows 0..15, 4 shards
+
+    @jax.jit
+    def f(x):
+        return jax.shard_map(lambda a: exchange_halo(a, 2),
+                             in_specs=P(None, SPATIAL_AXIS),
+                             out_specs=P(None, SPATIAL_AXIS))(x)
+
+    with jax.set_mesh(smesh):
+        out = np.asarray(f(_sharded(smesh, x)))[0, :, 0, 0]
+    blocks = out.reshape(4, 8)  # each shard: 2 halo + 4 rows + 2 halo
+    np.testing.assert_array_equal(blocks[1], [2, 3, 4, 5, 6, 7, 8, 9])
+    np.testing.assert_array_equal(blocks[0][:2], [0, 0])   # global top edge
+    np.testing.assert_array_equal(blocks[3][-2:], [0, 0])  # bottom edge
+    np.testing.assert_array_equal(blocks[3][:6], [10, 11, 12, 13, 14, 15])
+
+
+def test_exchange_halo_multihop(smesh):
+    """halo > shard height requires forwarding blocks multiple hops."""
+    x = jnp.arange(8.0).reshape(1, 8, 1, 1)  # 2 rows per shard
+
+    @jax.jit
+    def f(x):
+        return jax.shard_map(lambda a: exchange_halo(a, 5),
+                             in_specs=P(None, SPATIAL_AXIS),
+                             out_specs=P(None, SPATIAL_AXIS))(x)
+
+    with jax.set_mesh(smesh):
+        out = np.asarray(f(_sharded(smesh, x)))[0, :, 0, 0]
+    blocks = out.reshape(4, 12)
+    # shard 2 (rows 4, 5): halo-5 above = rows -1..3 (zero for -1).
+    np.testing.assert_array_equal(
+        blocks[2], [0, 0, 1, 2, 3, 4, 5, 6, 7, 0, 0, 0])
+
+
+def test_cost_volume_prepadded_matches_zero_padded(rng):
+    f1 = jnp.asarray(rng.standard_normal((1, 8, 12, 6)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((1, 8, 12, 6)), jnp.float32)
+    d = 2
+    f2e = jnp.pad(f2, ((0, 0), (d, d), (0, 0), (0, 0)))
+    want = cost_volume_lax(f1, f2, d)
+    got = cost_volume_prepadded_lax(f1, f2e, d)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+    # Real (non-zero) halo rows are actually consumed.
+    f2big = jnp.asarray(rng.standard_normal((1, 12, 12, 6)), jnp.float32)
+    got2 = cost_volume_prepadded_lax(f1, f2big, d)
+    want2 = cost_volume_lax(
+        jnp.pad(f1, ((0, 0), (d, d), (0, 0), (0, 0))), f2big, d
+    )[:, d:-d]
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("backend", ["lax", "pallas"])
+@pytest.mark.parametrize("with_flow", [False, True])
+def test_warp_corr_spatial_matches_unsharded(smesh, backend, with_flow, rng):
+    n, h, w, c, d = 1, 32, 24, 8, 2
+    f1 = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    flow = (jnp.asarray(rng.standard_normal((n, h, w, 2)), jnp.float32) * 2.0
+            if with_flow else None)
+
+    if flow is None:
+        want = cost_volume_lax(f1, f2, d)
+    else:
+        want = cost_volume_lax(f1, warp_bilinear(f2, flow), d)
+
+    @jax.jit
+    def f(a, b, fl):
+        return warp_corr_spatial(a, b, fl, max_displacement=d,
+                                 halo_rows=8, backend=backend)
+
+    with jax.set_mesh(smesh):
+        got = f(_sharded(smesh, f1), _sharded(smesh, f2),
+                None if flow is None else _sharded(smesh, flow))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_warp_corr_spatial_gradients(smesh, rng):
+    """The halo island is differentiable (ppermute transposes cleanly)."""
+    n, h, w, c, d = 1, 16, 12, 4, 1
+    f1 = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    flow = jnp.asarray(rng.standard_normal((n, h, w, 2)), jnp.float32)
+
+    def loss_sharded(a, b):
+        return jnp.sum(warp_corr_spatial(
+            a, b, flow, max_displacement=d, halo_rows=4,
+            backend="lax") ** 2)
+
+    def loss_ref(a, b):
+        return jnp.sum(cost_volume_lax(a, warp_bilinear(b, flow), d) ** 2)
+
+    with jax.set_mesh(smesh):
+        g1, g2 = jax.jit(jax.grad(loss_sharded, argnums=(0, 1)))(
+            _sharded(smesh, f1), _sharded(smesh, f2))
+    r1, r2 = jax.grad(loss_ref, argnums=(0, 1))(f1, f2)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(r1),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(r2),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_spatial_forward_pallas_matches_unsharded():
+    """VERDICT r1 #5 'Done' criterion: halo-sharded full forward equals the
+    unsharded forward with corr_backend='pallas'."""
+    from pwcnet_tpu.parallel.spatial import spatial_forward
+
+    model = PWCNet(num_levels=3, output_level=2, search_range=2,
+                   corr_backend="pallas")
+    rng = np.random.default_rng(0)
+    h, w = 64, 48
+    im1 = jnp.asarray(rng.random((1, h, w, 3)), jnp.float32)
+    im2 = jnp.asarray(rng.random((1, h, w, 3)), jnp.float32)
+    params = jax.jit(model.init)(jax.random.key(0), im1, im2)
+    mesh = make_mesh(MeshConfig(data=1, spatial=4))
+    flows_sh, full_sh = spatial_forward(model, params, mesh, im1, im2)
+    flows = jax.jit(model.apply)(params, im1, im2, train=False)
+    full = model.full_res_flow(flows, im1.shape[1:3])
+    for a, b in zip(flows_sh, flows):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(full_sh), np.asarray(full),
+                               rtol=1e-4, atol=1e-5)

