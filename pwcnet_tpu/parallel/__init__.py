@@ -8,6 +8,7 @@ from pwcnet_tpu.parallel.mesh import (  # noqa: F401
     initialize_distributed,
     local_batch_size,
     make_mesh,
+    replicate,
     replicated,
     shard_batch,
 )

@@ -76,6 +76,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    """Place a host-local pytree fully replicated over the mesh.
+
+    Single-process: plain ``device_put``. Multi-process: ``device_put`` to a
+    global sharding is illegal (it spans non-addressable devices), so the
+    replicated global arrays are produced by a jit identity with explicit
+    out_shardings — multi-controller SPMD semantics require every host to
+    pass the same values (true for params/state created from the same seed
+    or restored from the same checkpoint). Handles PRNG-key leaves, which
+    ``make_array_from_process_local_data`` cannot (extended dtypes).
+    """
+    sharding = replicated(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+    return jax.jit(lambda t: t, out_shardings=sharding)(tree)
+
+
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
     """Place a host-local batch pytree onto the mesh, sharded over data.
 

@@ -20,7 +20,7 @@ from pwcnet_tpu.parallel import (
     MeshConfig,
     initialize_distributed,
     make_mesh,
-    replicated,
+    replicate,
     shard_batch,
 )
 from pwcnet_tpu.train.checkpoint import CheckpointManager
@@ -88,31 +88,29 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
     # --- init state (replicated over the mesh) ---
     crop = cfg.data.augment.crop_hw
     dummy = jnp.zeros((1, crop[0], crop[1], 3), jnp.float32)
-    rep = replicated(mesh)
 
     @jax.jit
     def init_params(key):
         return model.init(key, dummy, dummy)
 
     key = jax.random.key(cfg.train.seed)
-    params = jax.device_put(init_params(key), rep)
+    params = replicate(mesh, init_params(key))
     state = TrainState.create(params, tx, jax.random.fold_in(key, 1))
-    state = jax.device_put(state, rep)
+    state = replicate(mesh, state)
 
     ckpt = CheckpointManager(cfg.train.log_dir + "/ckpt",
                              max_to_keep=cfg.train.max_to_keep)
     if cfg.train.init_from:
         warm = CheckpointManager(cfg.train.init_from)
         restored = warm.restore(jax.device_get(state))
-        state = jax.device_put(
-            state.replace(params=restored.params), rep)
+        state = replicate(mesh, state.replace(params=restored.params))
         warm.close()
     if cfg.train.resume and ckpt.latest_step is not None:
         # Only pay the device->host round trip of the template when there is
         # actually a checkpoint to restore (it is ~60 MB of params+moments,
         # and very expensive through a remote-TPU tunnel).
         state = ckpt.restore_latest_or(jax.device_get(state))
-        state = jax.device_put(state, rep)
+        state = replicate(mesh, state)
     start_step = int(jax.device_get(state.step))
 
     # Device-generated synthetic batches need no augmentation (every sample
