@@ -146,7 +146,9 @@ class PWCNet(nn.Module):
       search_range: correlation max displacement d (reference
         ``--search_range``, default 4 -> 81 channels).
       residual: estimator predicts an increment on the upsampled flow.
-      corr_backend: 'lax' | 'pallas' correlation implementation.
+      corr_backend: 'lax' | 'pallas' | 'fused' correlation implementation
+        ('fused' = single warp+corr Pallas kernel at warped levels,
+        'pallas' at the top level and wherever the fused tile overflows).
       flow_scale: supervision scaling (PWC-Net paper: 20).
       spatial_axis: when set (e.g. "spatial"), the warp + correlation step
         runs as a shard_map island with lax.ppermute ring halo exchange
@@ -237,11 +239,20 @@ class PWCNet(nn.Module):
                     f1, f2, pix, max_displacement=self.search_range,
                     halo_rows=self.spatial_halo, axis=self.spatial_axis,
                     backend=self.corr_backend)
+            elif pix is not None and self.corr_backend == "fused":
+                # Single-kernel warp+corr: the warped tensor never leaves
+                # VMEM (ops/pallas/warp_corr_kernel.py).
+                from pwcnet_tpu.ops.pallas.warp_corr_kernel import (
+                    warp_corr_fused)
+                corr = warp_corr_fused(f1, f2, pix,
+                                       max_displacement=self.search_range)
             else:
                 warped2 = f2 if pix is None else warp_bilinear(f2, pix)
+                backend = ("pallas" if self.corr_backend == "fused"
+                           else self.corr_backend)
                 corr = cost_volume(f1, warped2,
                                    max_displacement=self.search_range,
-                                   backend=self.corr_backend)
+                                   backend=backend)
             corr = leaky_relu(corr)
             x = jnp.concatenate(
                 [corr, f1, up_flow.astype(self.dtype)], axis=-1)

@@ -1,0 +1,272 @@
+"""Fused warp+correlation Pallas kernel (VERDICT r1 next-round item #2).
+
+Replaces the two-op sequence ``corr = cost_volume(f1, warp(f2, flow))``
+(reference ``modules.py:~45-115``: ``WarpingLayer`` + correlation) with:
+
+  1. XLA: per-pixel bilinear *gather* of frame-2 features — one
+     ``take_along_axis`` over a packed 4-corner table (one index fetches
+     all four bilinear corners x C channels as a contiguous row; the TPU
+     gather is index-rate-bound at ~3 ns/index, so halving the index
+     count beats halving the bytes). This stays in XLA: Mosaic has no
+     vectorized dynamic gather (probed on this toolchain: only a single
+     (8, 128)-f32 lane gather lowers), and XLA's row-gather is already at
+     the index-rate floor.
+  2. Pallas (this file): bilinear *blend* + ones-coverage mask + the 81-tap
+     correlation in ONE kernel. The warped tensor lives only in VMEM
+     scratch — never materialized to HBM — which deletes the warped
+     write/read round trip, its NHWC->NCHW transpose, its zero-pad, and
+     the lane-starved XLA blend (C=32 in the minor dim uses 32/128 lanes;
+     measured ~100 us of the round-1 warp's 181 us at level 2).
+
+Kernel layout follows ``cost_volume_kernel.py``: channel-first blocks,
+(batch, row-tile) grid, halo rows via two adjacent-block specs, dx-outer
+lane rotations into scratch, f32 accumulation. The blend prologue adds
+4 fma/channel/pixel — ~5% of the correlation's 81 fma/channel/pixel.
+
+Backward: ``custom_vjp`` over (f1, gathered corners, folded weights).
+d_corr -> (df1, d_warped) reuses the correlation backward kernels
+(`_corr_backward_pallas`) after recomputing the warped tensor from the
+saved residuals (cheap blend, no re-gather); d_warped then splits into
+per-corner d_gather = w_a * d_warped and d_weights = sum_c g_a * d_warped.
+The gather/table/coordinate math stays plain jnp outside the custom_vjp
+boundary, so d_gather flows back to df2 through XLA's scatter-add exactly
+as the unfused warp's backward does.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pwcnet_tpu.ops.pallas.cost_volume_kernel import (
+    _VMEM_BUDGET_BYTES,
+    _cdiv,
+    _corr_backward_pallas,
+    _from_cf,
+    _round_up,
+    _to_cf,
+)
+
+
+def _pick_tile_fused(w: int, c: int, d: int, itemsize: int) -> int | None:
+    """Largest row tile whose double-buffered fused blocks fit VMEM."""
+    side2 = (2 * d + 1) ** 2
+    wl = _round_up(w, 128)
+    wp = _round_up(w + 2 * d, 128)
+    for tile in (32, 16, 8):
+        per_step = (
+            c * tile * wl * itemsize          # f1 block
+            + 2 * 4 * c * tile * wl * itemsize  # two 4C corner halo blocks
+            + 2 * 4 * tile * wl * 4             # two weight halo blocks
+            + side2 * tile * wl * itemsize      # out block
+        )
+        scratch = (c * 2 * tile * wp * itemsize   # blended warped + x-pad
+                   + c * 2 * tile * wl * itemsize)  # dx-rotation scratch
+        if 2 * per_step + scratch <= _VMEM_BUDGET_BYTES:
+            return tile
+    return None
+
+
+def _fused_kernel(f1_ref, ga_ref, gb_ref, wa_ref, wb_ref, out_ref,
+                  warp_s, f2x, *, d: int, tile: int, w: int, c: int):
+    """Blend 4 bilinear corners into VMEM warped rows, then correlate.
+
+    Refs (leading grid-block axis of size 1 elided in comments):
+      f1:  (C, TILE, W)        frame-1 features, rows [i*T, i*T+T)
+      ga/gb: (4C, TILE, W)     gathered corners, rows [i*T-d, ...) halves
+      wa/wb: (4, TILE, W) f32  folded bilinear*mask weights, same rows
+      out: (D^2, TILE, W)
+      warp_s: (C, 2*TILE, W+2d) scratch — warped rows incl. x zero-pad
+      f2x: (C, 2*TILE, W) scratch — one dx lane-rotation of warp_s
+    """
+    side = 2 * d + 1
+    inv_c = jnp.float32(1.0 / c)
+    wdt = warp_s.dtype
+
+    # x zero-padding columns (corr taps outside [0, W) read zeros).
+    warp_s[:, :, :d] = jnp.zeros((c, 2 * tile, d), wdt)
+    warp_s[:, :, d + w:] = jnp.zeros((c, 2 * tile, warp_s.shape[2] - d - w),
+                                     wdt)
+    # Bilinear blend: warped = sum_a w_a * g_a (f32), per halo half.
+    for half, (g_ref, w_ref) in enumerate(((ga_ref, wa_ref),
+                                           (gb_ref, wb_ref))):
+        acc = jnp.zeros((c, tile, w), jnp.float32)
+        for a in range(4):
+            acc += (w_ref[0, a][None]
+                    * g_ref[0, a * c:(a + 1) * c].astype(jnp.float32))
+        warp_s[:, half * tile:(half + 1) * tile, d:d + w] = acc.astype(wdt)
+
+    f1b = f1_ref[0]
+    for dx in range(side):
+        f2x[...] = warp_s[:, :, dx:dx + w]
+        for dy in range(side):
+            out_ref[0, dy * side + dx] = (
+                jnp.sum(f1b * f2x[:, dy:dy + tile, :], axis=0,
+                        dtype=jnp.float32) * inv_c).astype(out_ref.dtype)
+
+
+def _pad_rows_nc(x_cf: jax.Array, d: int, tile: int, n_tiles: int,
+                 h: int) -> jax.Array:
+    """Row-pad (N, C, H, W) for the two-adjacent-block halo scheme (top d,
+    bottom d + ragged slack + one extra tile). No column padding — the
+    kernel zero-pads x inside VMEM scratch."""
+    bottom = d + (n_tiles * tile - h) + tile
+    return jnp.pad(x_cf, ((0, 0), (0, 0), (d, bottom), (0, 0)))
+
+
+def _fused_forward(f1: jax.Array, g: jax.Array, wm: jax.Array, d: int,
+                   interpret: bool) -> jax.Array:
+    """f1 (N,H,W,C); g (N,H,W,4C) gathered corners; wm (N,4,H,W) f32."""
+    n, h, w, c = f1.shape
+    side = 2 * d + 1
+    itemsize = f1.dtype.itemsize
+    tile = min(_pick_tile_fused(w, c, d, itemsize), _round_up(h, 8))
+    n_tiles = _cdiv(h, tile)
+
+    f1cf = _to_cf(f1)
+    gcf = _pad_rows_nc(_to_cf(g), d, tile, n_tiles, h)
+    wmp = _pad_rows_nc(wm, d, tile, n_tiles, h)
+
+    halo = lambda ch, off: pl.BlockSpec(
+        (1, ch, tile, w), lambda b, i, _o=off: (b, 0, i + _o, 0),
+        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel, d=d, tile=tile, w=w, c=c),
+        out_shape=jax.ShapeDtypeStruct((n, side * side, h, w), f1.dtype),
+        grid=(n, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, c, tile, w), lambda b, i: (b, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            halo(4 * c, 0), halo(4 * c, 1),
+            halo(4, 0), halo(4, 1),
+        ],
+        out_specs=pl.BlockSpec((1, side * side, tile, w),
+                               lambda b, i: (b, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((c, 2 * tile, _round_up(w + 2 * d, 128)), f1.dtype),
+            pltpu.VMEM((c, 2 * tile, w), f1.dtype),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * w * c * (side * side + 4),
+            bytes_accessed=(n * h * w * (9 * c + 4) * itemsize
+                            + n * h * w * side * side * itemsize),
+            transcendentals=0,
+        ),
+    )(f1cf, gcf, gcf, wmp, wmp)
+    return _from_cf(out)
+
+
+def _blend(g: jax.Array, wm: jax.Array, c: int) -> jax.Array:
+    """Recompute the warped tensor from residuals (backward only)."""
+    gf = g.astype(jnp.float32)
+    w4 = jnp.moveaxis(wm, 1, -1)[..., None]  # (N, H, W, 4, 1)
+    parts = [w4[..., a, :] * gf[..., a * c:(a + 1) * c] for a in range(4)]
+    return sum(parts)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _warp_corr_core(f1, g, wm, d, interpret):
+    return _fused_forward(f1, g, wm, d, interpret)
+
+
+def _wc_fwd(f1, g, wm, d, interpret):
+    return _fused_forward(f1, g, wm, d, interpret), (f1, g, wm)
+
+
+def _wc_bwd(d, interpret, res, gout):
+    f1, g, wm = res
+    n, h, w, c = f1.shape
+    warped = _blend(g, wm, c).astype(f1.dtype)
+    df1, dwarped = _corr_backward_pallas(f1, warped, gout, d, interpret)
+    dwf = dwarped.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    w4 = jnp.moveaxis(wm, 1, -1)  # (N, H, W, 4)
+    dg = jnp.concatenate(
+        [w4[..., a:a + 1] * dwf for a in range(4)], axis=-1).astype(g.dtype)
+    dwm = jnp.stack(
+        [jnp.sum(dwf * gf[..., a * c:(a + 1) * c], axis=-1)
+         for a in range(4)], axis=1)
+    return df1, dg, dwm
+
+
+_warp_corr_core.defvjp(_wc_fwd, _wc_bwd)
+
+
+def _gather_corners(f2: jax.Array, flow: jax.Array
+                    ) -> Tuple[jax.Array, jax.Array]:
+    """XLA part of the fused op: the bilinear gather + folded weights.
+
+    Returns g (N, H, W, 4C) — the four bilinear corner features per output
+    pixel, fetched with ONE row-gather index each from a packed 4-corner
+    table — and wm (N, 4, H, W) f32, the bilinear weights x in-bounds
+    masks x the reference's ones-coverage mask (coverage >= 0.9999), so
+    that blend(g, wm) == warp_bilinear(f2, flow) exactly.
+    """
+    n, h, w, c = f2.shape
+    fx = flow[..., 0].astype(jnp.float32)
+    fy = flow[..., 1].astype(jnp.float32)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (n, h, w), 2) + fx
+    ys = jax.lax.broadcasted_iota(jnp.float32, (n, h, w), 1) + fy
+    x0 = jnp.floor(xs)
+    y0 = jnp.floor(ys)
+    wx = xs - x0
+    wy = ys - y0
+
+    fp = jnp.pad(f2, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    hp, wp = h + 2, w + 2
+    tx = jnp.concatenate([fp, jnp.roll(fp, -1, axis=2)], axis=-1)
+    txy = jnp.concatenate([tx, jnp.roll(tx, -1, axis=1)], axis=-1)
+    flat = txy.reshape(n, hp * wp, 4 * c)
+    xc = jnp.clip(x0 + 1, 0, wp - 2).astype(jnp.int32)
+    yc = jnp.clip(y0 + 1, 0, hp - 2).astype(jnp.int32)
+    idx = (yc * wp + xc).reshape(n, h * w, 1)
+    g = jnp.take_along_axis(flat, idx, axis=1).reshape(n, h, w, 4 * c)
+
+    inb_x0 = ((x0 >= 0) & (x0 <= w - 1)).astype(jnp.float32)
+    inb_x1 = ((x0 + 1 >= 0) & (x0 + 1 <= w - 1)).astype(jnp.float32)
+    inb_y0 = ((y0 >= 0) & (y0 <= h - 1)).astype(jnp.float32)
+    inb_y1 = ((y0 + 1 >= 0) & (y0 + 1 <= h - 1)).astype(jnp.float32)
+    m = (inb_y0 * inb_x0, inb_y0 * inb_x1, inb_y1 * inb_x0, inb_y1 * inb_x1)
+    ww = ((1 - wy) * (1 - wx), (1 - wy) * wx, wy * (1 - wx), wy * wx)
+    cov = sum(wi * mi for wi, mi in zip(ww, m))
+    mask = (cov >= 0.9999).astype(jnp.float32)
+    wm = jnp.stack([wi * mi * mask for wi, mi in zip(ww, m)], axis=1)
+    return g, wm
+
+
+def warp_corr_fused(f1: jax.Array, f2: jax.Array, flow: jax.Array, *,
+                    max_displacement: int = 4,
+                    interpret: bool | None = None) -> jax.Array:
+    """Fused ``cost_volume(f1, warp_bilinear(f2, flow))`` (NHWC in/out).
+
+    Numerics: the blended warped rows are cast to the input dtype in VMEM
+    before the correlation dot, matching the composed path's
+    warp-output-in-bf16 behavior; the correlation accumulates f32.
+    Falls back to the composed ops when the fused tile cannot fit VMEM.
+    """
+    if f1.shape != f2.shape:
+        raise ValueError(f"shape mismatch {f1.shape} vs {f2.shape}")
+    d = max_displacement
+    n, h, w, c = f1.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    fwd_ok = _pick_tile_fused(w, c, d, f1.dtype.itemsize) is not None
+    # Backward reuses the correlation backward kernels; require their fit
+    # too so training never mixes a fused forward with an OOM backward.
+    from pwcnet_tpu.ops.pallas.cost_volume_kernel import _pick_tile
+    side2 = (2 * d + 1) ** 2
+    bwd_ok = _pick_tile(w, side2 + c, c, d, 4) is not None
+    if not (fwd_ok and bwd_ok):
+        from pwcnet_tpu.ops.cost_volume import cost_volume
+        from pwcnet_tpu.ops.warp import warp_bilinear
+        return cost_volume(f1, warp_bilinear(f2, flow),
+                           max_displacement=d, backend="pallas")
+    g, wm = _gather_corners(f2, flow)
+    return _warp_corr_core(f1, g, wm, d, interpret)
