@@ -192,11 +192,17 @@ def make_device_batcher(global_batch: int, hw: Tuple[int, int],
     """
     base = jax.random.fold_in(jax.random.key(seed), 2)
 
-    def gen(step):
+    # The base key is passed as an argument rather than captured in the
+    # closure: a typed PRNG-key array embedded as a jit *constant* hangs the
+    # remote-TPU (axon) runtime's constant transfer indefinitely, while the
+    # same key as a call argument compiles in seconds (bisected 2026-08-20).
+    def gen(base, step):
         keys = jax.random.split(jax.random.fold_in(base, step), global_batch)
         return jax.vmap(lambda k: device_sample(k, hw))(keys)
 
     if mesh is not None:
         from pwcnet_tpu.parallel import batch_sharding
-        return jax.jit(gen, out_shardings=batch_sharding(mesh))
-    return jax.jit(gen)
+        gen = jax.jit(gen, out_shardings=batch_sharding(mesh))
+    else:
+        gen = jax.jit(gen)
+    return lambda step: gen(base, step)
