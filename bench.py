@@ -117,6 +117,8 @@ def main() -> int:
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 35.0, 3),
+        "baseline": "PWC-Net paper ~35 fps at 1024x436 on Pascal Titan X "
+                    "(reference repo publishes no numbers of its own)",
     }))
     return 0
 

@@ -13,10 +13,13 @@ The recurrent update (context encoder, separable ConvGRU, flow head) runs
 under ``lax.scan`` — weights shared across iterations, compiled once,
 TPU-friendly static iteration count.
 
-Flow convention: RAFT flows are in pixels at 1/8 resolution; the model
-returns one flow per iteration (for the exponentially-weighted sequence
-loss, ``pwcnet_tpu.losses.sequence_loss``) plus ``full_res_flow`` which
-upsamples x8 and rescales to input-resolution pixels.
+Flow convention: the GRU refines flow in pixels at 1/8 resolution; each
+iteration's estimate is lifted to full resolution by RAFT's **convex
+upsampling** (a learned softmax-weighted combination of the 3x3 coarse
+neighborhood per 8x8 subpixel), so the model returns one *full-resolution*
+pixel flow per iteration (for the exponentially-weighted sequence loss,
+``pwcnet_tpu.losses.sequence_loss``). ``full_res_flow`` is then a no-op
+pass-through kept for family-generic callers.
 """
 
 from __future__ import annotations
@@ -107,6 +110,37 @@ class MotionEncoder(nn.Module):
         return jnp.concatenate([out, flow.astype(self.dtype)], axis=-1)
 
 
+def convex_upsample(flow: jax.Array, mask_logits: jax.Array,
+                    factor: int = 8) -> jax.Array:
+    """RAFT's convex upsampling: coarse flow -> full-res pixel flow.
+
+    Each fine pixel is a softmax-convex combination of its coarse pixel's
+    3x3 neighborhood (zero-padded at borders, matching RAFT's ``F.unfold``
+    with padding=1), with the flow magnitude rescaled by ``factor``.
+    TPU-first formulation: 9 static pad+slice shifts + one einsum + a
+    pixel-shuffle reshape — all static shapes, fuses under XLA.
+
+    Args:
+      flow: (N, h, w, 2) flow in pixels at the coarse resolution.
+      mask_logits: (N, h, w, 9 * factor**2) predicted combination logits.
+
+    Returns:
+      (N, h*factor, w*factor, 2) flow in full-resolution pixels.
+    """
+    n, h, w, _ = flow.shape
+    ff = factor * factor
+    m = jax.nn.softmax(
+        mask_logits.astype(jnp.float32).reshape(n, h, w, 9, ff), axis=3)
+    f = flow.astype(jnp.float32) * factor
+    pad = jnp.pad(f, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    nbrs = jnp.stack([pad[:, dy:dy + h, dx:dx + w, :]
+                      for dy in range(3) for dx in range(3)], axis=3)
+    up = jnp.einsum("nhwkp,nhwkc->nhwpc", m, nbrs)  # (N, h, w, ff, 2)
+    up = up.reshape(n, h, w, factor, factor, 2)
+    return up.transpose(0, 1, 3, 2, 4, 5).reshape(
+        n, h * factor, w * factor, 2)
+
+
 class RAFT(nn.Module):
     """Iterative two-scale local-correlation RAFT head.
 
@@ -157,6 +191,12 @@ class RAFT(nn.Module):
                               name="flow_head_1")
         head_out = nn.Conv(2, (3, 3), padding="SAME", dtype=self.dtype,
                            name="flow_head_2")
+        # Convex-upsampling mask head (RAFT: conv 3x3 -> relu -> conv 1x1 to
+        # 9 * 8^2 logits, scaled 0.25 for a near-uniform softmax at init).
+        mask_hidden = nn.Conv(128, (3, 3), padding="SAME", dtype=self.dtype,
+                              name="mask_head_1")
+        mask_out = nn.Conv(9 * div * div, (1, 1), dtype=self.dtype,
+                           name="mask_head_2")
 
         d = self.corr_radius
 
@@ -180,7 +220,8 @@ class RAFT(nn.Module):
             h_new = gru(hidden, x)
             delta = head_out(leaky_relu(head_hidden(h_new)))
             flow = flow + delta.astype(jnp.float32)
-            return (h_new, flow), flow
+            logits = 0.25 * mask_out(leaky_relu(mask_hidden(h_new)))
+            return (h_new, flow), convex_upsample(flow, logits, factor=div)
 
         flow0 = jnp.zeros(f1.shape[:3] + (2,), jnp.float32)
         if self.is_initializing():
@@ -189,13 +230,14 @@ class RAFT(nn.Module):
             return [first]
         (_, _), flows = jax.lax.scan(
             step, (hidden, flow0), None, length=self.num_iters)
-        # (iters, N, H/8, W/8, 2) -> list, iteration order.
+        # (iters, N, H, W, 2) full-res pixel flows -> list, iteration order.
         return [flows[i] for i in range(self.num_iters)]
 
     def full_res_flow(self, flows: List[jax.Array],
                       hw: Tuple[int, int]) -> jax.Array:
-        """Final iteration -> full-resolution pixel flow (x8 upsample with
-        magnitude rescale)."""
+        """Final iteration -> full-resolution pixel flow. Flows leave
+        ``__call__`` already convex-upsampled; this resize is an identity
+        unless a caller padded the input (then it rescales to ``hw``)."""
         flow = flows[-1]
         scale = hw[0] / flow.shape[1]
         return resize_to(flow, hw) * scale

@@ -7,7 +7,32 @@ import optax
 import pytest
 
 from pwcnet_tpu.losses import sequence_loss
-from pwcnet_tpu.models.raft import RAFT
+from pwcnet_tpu.models.raft import RAFT, convex_upsample
+
+
+def test_convex_upsample_constant_flow(rng):
+    # A convex combination of equal values is that value: constant coarse
+    # flow -> constant full-res flow x factor, for ANY mask logits.
+    flow = jnp.broadcast_to(jnp.asarray([1.5, -0.5]), (2, 4, 6, 2))
+    logits = jnp.asarray(rng.normal(size=(2, 4, 6, 9 * 64)), jnp.float32)
+    up = convex_upsample(flow, logits, factor=8)
+    assert up.shape == (2, 32, 48, 2)
+    # Interior only: border coarse pixels mix zero-padded neighbors (the
+    # reference F.unfold(padding=1) semantics), so constancy holds away
+    # from the 1-coarse-pixel border.
+    inner = np.asarray(up[:, 8:-8, 8:-8])
+    np.testing.assert_allclose(inner[..., 0], 12.0, rtol=1e-5)
+    np.testing.assert_allclose(inner[..., 1], -4.0, rtol=1e-5)
+
+
+def test_convex_upsample_center_mask(rng):
+    # Logits that put all softmax mass on the center neighbor (k=4) make
+    # convex upsampling an exact nearest-neighbor x-factor upsample.
+    flow = jnp.asarray(rng.normal(size=(1, 3, 5, 2)), jnp.float32)
+    logits = jnp.zeros((1, 3, 5, 9, 16)).at[..., 4, :].set(80.0)
+    up = convex_upsample(flow, logits.reshape(1, 3, 5, -1), factor=4)
+    expect = np.repeat(np.repeat(np.asarray(flow) * 4.0, 4, 1), 4, 2)
+    np.testing.assert_allclose(np.asarray(up), expect, rtol=1e-5, atol=1e-5)
 
 
 def _inputs(rng, n=1, h=64, w=64):
@@ -23,11 +48,14 @@ def test_forward_shapes(rng):
     flows = jax.jit(model.apply)(params, im1, im2)
     assert len(flows) == 4
     for f in flows:
-        assert f.shape == (2, 8, 12, 2)
+        # Convex-upsampled: every iteration is a full-resolution pixel flow.
+        assert f.shape == (2, 64, 96, 2)
         assert f.dtype == jnp.float32
         assert np.isfinite(np.asarray(f)).all()
     full = model.full_res_flow(flows, (64, 96))
     assert full.shape == (2, 64, 96, 2)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(flows[-1]),
+                               rtol=1e-6)
 
 
 def test_divisibility_check(rng):
@@ -68,8 +96,8 @@ def test_pallas_backend_matches_lax(rng):
 def test_overfit(rng):
     model = RAFT(num_iters=4, corr_radius=2)
     im1, im2 = _inputs(rng, h=32, w=32)
-    # RAFT predicts at 1/8 resolution: the target must be smooth to be
-    # representable after x8 upsampling. A constant flow is exactly
+    # The GRU refines at 1/8 resolution: the target must be smooth to be
+    # representable after convex x8 upsampling. A constant flow is exactly
     # representable and must be driven to ~0 loss.
     gt = jnp.broadcast_to(jnp.asarray([3.0, -2.0]), (1, 32, 32, 2))
     params = jax.jit(model.init)(jax.random.key(0), im1, im2)
