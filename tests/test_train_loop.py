@@ -75,6 +75,50 @@ def test_eval_during_training(chairs_dir, tmp_path):
 
 
 @pytest.mark.slow
+def test_synthetic_learning_regression():
+    """Fixed-seed short regression on *real-GT* synthetic-motion scenes
+    (the dataset behind the committed runs/synthetic-proof learning proof).
+    Unlike a random-GT overfit, the GT here is physically consistent with
+    the image pair, so descent catches a wrong warp direction, flipped u/v
+    channels, or a bad flow_scale convention — the loss cannot descend with
+    any of those broken. A fixed 2-scene batch keeps the trajectory
+    deterministic and the descent signal noise-free."""
+    import jax.numpy as jnp
+    import optax
+
+    from pwcnet_tpu.data.synthetic import SyntheticFlow
+    from pwcnet_tpu.losses import multiscale_loss
+    from pwcnet_tpu.models import PWCNet
+
+    ds = SyntheticFlow(hw=(64, 96), length=2, seed=23)
+    batch = {k: jnp.stack([jnp.asarray(ds[i][k]) for i in range(2)])
+             for k in ("im1", "im2", "flow", "valid")}
+    model = PWCNet(num_levels=3, output_level=2, search_range=2,
+                   corr_backend="lax")
+    params = jax.jit(model.init)(jax.random.key(3), batch["im1"],
+                                 batch["im2"])
+    opt = optax.adam(3e-4)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            flows = model.apply(p, batch["im1"], batch["im2"])
+            return multiscale_loss(flows, batch["flow"], batch["valid"],
+                                   flow_scale=model.flow_scale)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, upd), opt_state, loss
+
+    losses = []
+    for _ in range(80):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.5 * np.mean(losses[:3]), losses[::10]
+
+
+@pytest.mark.slow
 def test_raft_family_trains(chairs_dir, tmp_path):
     cfg = _tiny_cfg(chairs_dir, str(tmp_path / "run_raft"), total_steps=3)
     from pwcnet_tpu.config import apply_overrides
