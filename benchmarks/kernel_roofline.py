@@ -84,6 +84,7 @@ def main() -> int:
     from pwcnet_tpu.ops.cost_volume import cost_volume_lax
     from pwcnet_tpu.ops.pallas.cost_volume_kernel import cost_volume_pallas
     from pwcnet_tpu.ops.pallas.stem_kernel import stem_pallas, stem_ref
+    from pwcnet_tpu.ops.pallas.warp_corr_kernel import warp_corr_fused
     from pwcnet_tpu.ops.warp import warp_bilinear
 
     rng = np.random.default_rng(0)
@@ -104,18 +105,27 @@ def main() -> int:
         t_pal = bench_marginal(lambda a, b: cost_volume_pallas(a, b), f1, f2)
         t_lax = bench_marginal(lambda a, b: cost_volume_lax(a, b), f1, f2)
         t_warp = bench_marginal(lambda a, b: warp_bilinear(a, b), f2, flow)
+        t_fused = bench_marginal(
+            lambda a, b, fl: warp_corr_fused(a, b, fl), f1, f2, flow)
 
         n_px = args.batch * h * w
         bytes_min = n_px * c * 2 * 2 + n_px * side2 * 2  # f1+f2 in, corr out
+        # Fused kernel also reads the flow field (f32, 2ch).
+        bytes_fused = bytes_min + n_px * 2 * 4
         flops = 2 * n_px * side2 * c
         rows.append({
             "level": level, "shape": list(shape),
             "corr_pallas_us": round(t_pal * 1e6, 1),
             "corr_lax_us": round(t_lax * 1e6, 1),
             "warp_us": round(t_warp * 1e6, 1),
+            "warp_corr_fused_us": round(t_fused * 1e6, 1),
+            "fused_vs_composed": round((t_warp + t_pal) / t_fused, 2),
             "corr_eff_gbps": round(bytes_min / t_pal / 1e9, 1),
             "corr_pct_hbm_sol": round(100 * bytes_min / t_pal / 1e9
                                       / HBM_GBPS, 1),
+            "fused_eff_gbps": round(bytes_fused / t_fused / 1e9, 1),
+            "fused_pct_hbm_sol": round(100 * bytes_fused / t_fused / 1e9
+                                       / HBM_GBPS, 1),
             "corr_tflops": round(flops / t_pal / 1e12, 2),
         })
 
@@ -138,6 +148,8 @@ def main() -> int:
 
     total_pal = sum(r["corr_pallas_us"] for r in rows)
     total_lax = sum(r["corr_lax_us"] for r in rows)
+    total_fused = sum(r["warp_corr_fused_us"] for r in rows)
+    total_composed = sum(r["warp_us"] + r["corr_pallas_us"] for r in rows)
     print(json.dumps({
         "device": str(jax.devices()[0]),
         "input_hw": [h0, w0],
@@ -147,6 +159,10 @@ def main() -> int:
                           "lax": round(total_lax, 1),
                           "speedup": round(total_lax / max(total_pal, 1e-9),
                                            2)},
+        "warp_corr_total_us": {
+            "fused": round(total_fused, 1),
+            "composed_warp_plus_pallas": round(total_composed, 1),
+            "speedup": round(total_composed / max(total_fused, 1e-9), 2)},
         "method": "marginal scan timing (see module docstring)",
     }, indent=2))
     return 0
