@@ -120,8 +120,15 @@ def _pad_rows_nc(x_cf: jax.Array, d: int, tile: int, n_tiles: int,
 
 
 def _fused_forward(f1: jax.Array, g: jax.Array, wm: jax.Array, d: int,
-                   interpret: bool) -> jax.Array:
-    """f1 (N,H,W,C); g (N,H,W,4C) gathered corners; wm (N,4,H,W) f32."""
+                   interpret: bool, rows_prepadded: bool = False
+                   ) -> jax.Array:
+    """f1 (N,H,W,C); g (N,H,W,4C) gathered corners; wm (N,4,H,W) f32.
+
+    With ``rows_prepadded``, g/wm carry d REAL rows above and below
+    (corners gathered for halo rows in the spatially sharded path) instead
+    of this function zero-padding the top — same contract as
+    ``_corr_forward_pallas(rows_prepadded=True)``.
+    """
     n, h, w, c = f1.shape
     side = 2 * d + 1
     itemsize = f1.dtype.itemsize
@@ -129,8 +136,14 @@ def _fused_forward(f1: jax.Array, g: jax.Array, wm: jax.Array, d: int,
     n_tiles = _cdiv(h, tile)
 
     f1cf = _to_cf(f1)
-    gcf = _pad_rows_nc(_to_cf(g), d, tile, n_tiles, h)
-    wmp = _pad_rows_nc(wm, d, tile, n_tiles, h)
+    if rows_prepadded:
+        bottom = (n_tiles * tile - h) + tile
+        pad = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, bottom), (0, 0)))
+        gcf = pad(_to_cf(g))
+        wmp = pad(wm)
+    else:
+        gcf = _pad_rows_nc(_to_cf(g), d, tile, n_tiles, h)
+        wmp = _pad_rows_nc(wm, d, tile, n_tiles, h)
 
     halo = lambda ch, off: pl.BlockSpec(
         (1, ch, tile, w), lambda b, i, _o=off: (b, 0, i + _o, 0),
@@ -197,6 +210,58 @@ def _wc_bwd(d, interpret, res, gout):
 
 
 _warp_corr_core.defvjp(_wc_fwd, _wc_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _warp_corr_core_pre(f1, g, wm, d, interpret):
+    return _fused_forward(f1, g, wm, d, interpret, rows_prepadded=True)
+
+
+def _wc_pre_fwd(f1, g, wm, d, interpret):
+    return _warp_corr_core_pre(f1, g, wm, d, interpret), (f1, g, wm)
+
+
+def _wc_pre_bwd(d, interpret, res, gout):
+    # Backward composes from lax ops (exact; the spatially-sharded path is
+    # inference-first — mirrors _cv_pre_bwd in cost_volume_kernel.py).
+    f1, g, wm = res
+    c = f1.shape[-1]
+    from pwcnet_tpu.ops.cost_volume import cost_volume_prepadded_lax
+
+    def ref(f1_, g_, wm_):
+        warped = _blend(g_, wm_, c).astype(f1_.dtype)
+        return cost_volume_prepadded_lax(f1_, warped, d)
+
+    _, vjp = jax.vjp(ref, f1, g, wm)
+    return vjp(gout)
+
+
+_warp_corr_core_pre.defvjp(_wc_pre_fwd, _wc_pre_bwd)
+
+
+def warp_corr_fused_prepadded(f1: jax.Array, g: jax.Array, wm: jax.Array, *,
+                              max_displacement: int = 4,
+                              interpret: bool | None = None) -> jax.Array:
+    """Fused blend+corr with d REAL halo rows already gathered into g/wm.
+
+    The spatially-sharded analog of :func:`warp_corr_fused`
+    (``parallel/halo.py`` computes the corner gather with halo rows and
+    global-coordinate masks; this runs the in-VMEM blend + correlation).
+    f1: (N, H, W, C); g: (N, H+2d, W, 4C); wm: (N, 4, H+2d, W) f32.
+    """
+    d = max_displacement
+    n, h, w, c = f1.shape
+    if g.shape[1] != h + 2 * d:
+        raise ValueError(
+            f"g must have H + 2d = {h + 2 * d} rows, got {g.shape[1]}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if _pick_tile_fused(w, c, d, f1.dtype.itemsize) is None:
+        from pwcnet_tpu.ops.cost_volume import cost_volume_prepadded
+        warped = _blend(g, wm, c).astype(f1.dtype)
+        return cost_volume_prepadded(f1, warped, max_displacement=d,
+                                     backend="pallas")
+    return _warp_corr_core_pre(f1, g, wm, d, interpret)
 
 
 def _gather_corners(f2: jax.Array, flow: jax.Array

@@ -59,7 +59,7 @@ def spatial_forward(model: PWCNet, params, mesh: Mesh,
     across a shard edge is bounded by ``model.spatial_halo`` rows.
     """
     from pwcnet_tpu.parallel.mesh import SPATIAL_AXIS as _SP
-    if model.corr_backend == "pallas" and model.spatial_axis is None:
+    if model.corr_backend in ("pallas", "fused") and model.spatial_axis is None:
         model = dataclasses.replace(model, spatial_axis=_SP)
     h = im1.shape[1]
     div = required_divisor(model, mesh)

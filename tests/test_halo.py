@@ -81,7 +81,7 @@ def test_cost_volume_prepadded_matches_zero_padded(rng):
                                rtol=1e-6, atol=1e-6)
 
 
-@pytest.mark.parametrize("backend", ["lax", "pallas"])
+@pytest.mark.parametrize("backend", ["lax", "pallas", "fused"])
 @pytest.mark.parametrize("with_flow", [False, True])
 def test_warp_corr_spatial_matches_unsharded(smesh, backend, with_flow, rng):
     n, h, w, c, d = 1, 32, 24, 8, 2
@@ -132,13 +132,15 @@ def test_warp_corr_spatial_gradients(smesh, rng):
                                rtol=1e-4, atol=1e-5)
 
 
-def test_spatial_forward_pallas_matches_unsharded():
-    """VERDICT r1 #5 'Done' criterion: halo-sharded full forward equals the
-    unsharded forward with corr_backend='pallas'."""
+@pytest.mark.parametrize("backend", ["pallas", "fused"])
+def test_spatial_forward_kernel_backends_match_unsharded(backend):
+    """VERDICT r1 #5 / r2 weak #3 'Done' criteria: halo-sharded full
+    forward equals the unsharded forward with the Pallas correlation AND
+    the fused warp+corr backend (previously 'fused' x spatial crashed)."""
     from pwcnet_tpu.parallel.spatial import spatial_forward
 
     model = PWCNet(num_levels=3, output_level=2, search_range=2,
-                   corr_backend="pallas")
+                   corr_backend=backend)
     rng = np.random.default_rng(0)
     h, w = 64, 48
     im1 = jnp.asarray(rng.random((1, h, w, 3)), jnp.float32)

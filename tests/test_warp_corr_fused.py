@@ -95,6 +95,40 @@ def test_fused_fallback_on_oversized_width():
                                np.asarray(ref, np.float32), atol=2e-2)
 
 
+def test_fused_prepadded_matches_composed_prepadded():
+    """warp_corr_fused_prepadded(f1, g, wm) == prepadded lax correlation of
+    blend(g, wm) — real halo rows consumed, plus gradients (lax-composed
+    backward)."""
+    from pwcnet_tpu.ops.cost_volume import cost_volume_prepadded_lax
+    from pwcnet_tpu.ops.pallas.warp_corr_kernel import (
+        warp_corr_fused_prepadded)
+
+    n, h, w, c, d = 1, 16, 24, 8, 2
+    k = jax.random.split(jax.random.key(6), 3)
+    f1 = jax.random.normal(k[0], (n, h, w, c), jnp.float32)
+    # Fabricate corner/weight tensors with d real halo rows each side.
+    g = jax.random.normal(k[1], (n, h + 2 * d, w, 4 * c), jnp.float32)
+    wm = jax.nn.softmax(
+        jax.random.normal(k[2], (n, 4, h + 2 * d, w), jnp.float32), axis=1)
+
+    ref_fn = lambda a, gg, ww: cost_volume_prepadded_lax(
+        a, _blend(gg, ww, c).astype(a.dtype), d)
+    ref = ref_fn(f1, g, wm)
+    out = warp_corr_fused_prepadded(f1, g, wm, max_displacement=d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def loss(fn):
+        return lambda *a: jnp.sum(jnp.sin(fn(*a).astype(jnp.float32)))
+
+    g_ref = jax.grad(loss(ref_fn), argnums=(0, 1, 2))(f1, g, wm)
+    g_out = jax.grad(
+        loss(lambda a, gg, ww: warp_corr_fused_prepadded(
+            a, gg, ww, max_displacement=d)), argnums=(0, 1, 2))(f1, g, wm)
+    for a, b in zip(g_out, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_model_fused_backend_matches_lax():
     """PWCNet(corr_backend='fused') forward == corr_backend='lax' with the
     same params (dispatch-only difference)."""
