@@ -98,6 +98,17 @@ def cmd_predict(args) -> int:
     return 0
 
 
+def cmd_parity(args) -> int:
+    from pwcnet_tpu.train.parity import parity_report
+
+    cfg = _load_cfg(args)
+    out = parity_report(cfg, args.im1, args.im2, gt_path=args.gt,
+                        ref_flow_path=args.ref_flow, ckpt=args.ckpt,
+                        sweep=args.sweep)
+    print(json.dumps(out, indent=2))
+    return 0
+
+
 def cmd_config(args) -> int:
     cfg = _load_cfg(args)
     print(json.dumps(dataclasses.asdict(cfg), indent=2, default=str))
@@ -175,6 +186,21 @@ def main(argv=None) -> int:
     p.add_argument("--out", default=None, help=".flo/.png output path")
     p.add_argument("--vis", default=None, help="color visualization path")
     p.set_defaults(fn=cmd_predict)
+
+    p = sub.add_parser(
+        "parity",
+        help="reference-parity harness: EPE of one pair vs GT and/or a "
+             "reference .flo (BASELINE config 1; PARITY.md rows 9/18)")
+    common(p)
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--im1", required=True)
+    p.add_argument("--im2", required=True)
+    p.add_argument("--gt", default=None, help="ground-truth .flo")
+    p.add_argument("--ref-flow", default=None,
+                   help="reference implementation's predicted .flo")
+    p.add_argument("--sweep", action="store_true",
+                   help="report all resize_mode x input_center combinations")
+    p.set_defaults(fn=cmd_parity)
 
     p = sub.add_parser("config", help="print the resolved config")
     common(p)

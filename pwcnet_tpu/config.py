@@ -42,9 +42,11 @@ class ModelConfig:
     residual: bool = True
     use_norm: bool = False
     input_norm: bool = False
+    input_center: bool = False        # PARITY row 18: feed [-1,1] images
     corr_backend: str = "pallas"
     stem_backend: str = "auto"        # fused pyramid-stem kernel (levels 1-2)
     flow_scale: float = 20.0
+    resize_mode: str = "half_pixel"   # PARITY row 9: | "align_corners"
     dtype: str = "bfloat16"           # compute dtype: float32|bfloat16
 
 

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from pwcnet_tpu.models.layers import (ConvBlock, ConvStack, StemConvs,
                                       leaky_relu)
 from pwcnet_tpu.ops.cost_volume import cost_volume
+from pwcnet_tpu.ops.resize import resize_bilinear
 from pwcnet_tpu.ops.warp import warp_bilinear
 
 # Reference channel plan (reference modules.py FeaturePyramidExtractor):
@@ -44,15 +45,16 @@ CONTEXT_SPEC: Tuple[Tuple[int, int], ...] = (
     (128, 1), (128, 2), (128, 4), (96, 8), (64, 16), (32, 1))
 
 
-def upsample2x(x: jax.Array) -> jax.Array:
-    """Bilinear 2x spatial upsample (half-pixel convention)."""
+def upsample2x(x: jax.Array, mode: str = "half_pixel") -> jax.Array:
+    """Bilinear 2x spatial upsample (PARITY.md row 9: alignment convention
+    selectable via ``mode``; default half-pixel = torch align_corners=False)."""
     n, h, w, c = x.shape
-    return jax.image.resize(x, (n, 2 * h, 2 * w, c), method="bilinear")
+    return resize_bilinear(x, (2 * h, 2 * w), mode)
 
 
-def resize_to(x: jax.Array, hw: Tuple[int, int]) -> jax.Array:
-    n, _, _, c = x.shape
-    return jax.image.resize(x, (n, hw[0], hw[1], c), method="bilinear")
+def resize_to(x: jax.Array, hw: Tuple[int, int],
+              mode: str = "half_pixel") -> jax.Array:
+    return resize_bilinear(x, hw, mode)
 
 
 class FeaturePyramidExtractor(nn.Module):
@@ -165,9 +167,11 @@ class PWCNet(nn.Module):
     residual: bool = True
     use_norm: bool = False
     input_norm: bool = False
+    input_center: bool = False   # PARITY.md row 18: [0,1] -> [-1,1]
     corr_backend: str = "lax"
     stem_backend: str = "auto"
     flow_scale: float = 20.0
+    resize_mode: str = "half_pixel"  # PARITY.md row 9 (| 'align_corners')
     spatial_axis: Any = None
     spatial_halo: int = 16
     dtype: Any = jnp.float32
@@ -194,6 +198,11 @@ class PWCNet(nn.Module):
                 f"{(h, w)} — pad the images (see pwcnet_tpu.train.evaluate."
                 f"pad_to_divisible for the inference path)")
         chans = DEFAULT_PYRAMID_CHANNELS[:self.num_levels]
+        if self.input_center:
+            # PARITY row 18: some forks feed [-1, 1] images. Behind a flag
+            # so a reference checkpoint can pick its convention 1:1.
+            im1 = im1 * 2.0 - 1.0
+            im2 = im2 * 2.0 - 1.0
         if self.input_norm:
             # Per-image standardization over spatial+channel dims.
             def norm(x):
@@ -227,7 +236,7 @@ class PWCNet(nn.Module):
                 up_flow = jnp.zeros(f1.shape[:3] + (2,), jnp.float32)
                 pix = None
             else:
-                up_flow = upsample2x(flow)
+                up_flow = upsample2x(flow, self.resize_mode)
                 # scaled units -> pixels at this level.
                 pix = up_flow * (self.flow_scale / (2.0 ** level))
 
@@ -271,4 +280,4 @@ class PWCNet(nn.Module):
                       hw: Tuple[int, int]) -> jax.Array:
         """Finest prediction -> full-resolution pixel flow (inference path,
         reference ``predict.py``: upsample finest + undo supervision scale)."""
-        return resize_to(flows[-1], hw) * self.flow_scale
+        return resize_to(flows[-1], hw, self.resize_mode) * self.flow_scale

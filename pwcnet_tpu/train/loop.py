@@ -51,9 +51,11 @@ def build_model(cfg: Config):
         residual=m.residual,
         use_norm=m.use_norm,
         input_norm=m.input_norm,
+        input_center=m.input_center,
         corr_backend=m.corr_backend,
         stem_backend=m.stem_backend,
         flow_scale=m.flow_scale,
+        resize_mode=m.resize_mode,
         dtype=jnp.bfloat16 if m.dtype == "bfloat16" else jnp.float32,
     )
 
