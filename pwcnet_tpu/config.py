@@ -91,6 +91,10 @@ class TrainConfig:
     init_from: Optional[str] = None   # warm-start params from a checkpoint
     eval_limit: Optional[int] = None  # cap val samples (speed)
     profile_dir: Optional[str] = None # jax.profiler trace output
+    # Debug mode (SURVEY.md §5 sanitizers): every jitted computation is
+    # NaN-checked; a NaN anywhere raises FloatingPointError at the op that
+    # produced it (re-run de-optimized). Large slowdown — debugging only.
+    debug_nans: bool = False
 
 
 @dataclass(frozen=True)

@@ -60,8 +60,17 @@ def build_model(cfg: Config):
     )
 
 
+def apply_debug_config(cfg: Config) -> None:
+    """Wire the config's debug switches into jax (SURVEY.md §5 sanitizers:
+    the functional-JAX analog of a NaN sanitizer — ``train.debug_nans=true``
+    makes any NaN in any jitted computation raise FloatingPointError at the
+    producing op instead of silently corrupting training)."""
+    jax.config.update("jax_debug_nans", bool(cfg.train.debug_nans))
+
+
 def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
     """Run training per config; returns final metrics dict."""
+    apply_debug_config(cfg)
     p = cfg.parallel
     initialize_distributed(p.coordinator, p.num_processes, p.process_id)
     mesh = make_mesh(MeshConfig(data=p.data, spatial=p.spatial,
