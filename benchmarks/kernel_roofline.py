@@ -84,7 +84,7 @@ def main() -> int:
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 
     from pwcnet_tpu.models.pwcnet import DEFAULT_PYRAMID_CHANNELS
     from pwcnet_tpu.ops.cost_volume import cost_volume_lax
