@@ -89,7 +89,9 @@ def main() -> int:
     from pwcnet_tpu.train.step import make_train_step
 
     rng = np.random.default_rng(0)
-    model = PWCNet(corr_backend="pallas", dtype=jnp.bfloat16)
+    # Headline backend; PWCNET_BENCH_BACKEND overrides for A/B runs.
+    backend = os.environ.get("PWCNET_BENCH_BACKEND", "pallas")
+    model = PWCNet(corr_backend=backend, dtype=jnp.bfloat16)
 
     # --- headline: Sintel-resolution inference (436x1024 padded to /64) ---
     _PHASE = "infer-init"

@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from pwcnet_tpu.models.layers import (ConvBlock, ConvStack, StemConvs,
                                       leaky_relu)
 from pwcnet_tpu.ops.cost_volume import cost_volume
+from pwcnet_tpu.ops.pallas.warp_corr_kernel import (
+    fused_is_profitable as _fused_ok)
 from pwcnet_tpu.ops.resize import resize_bilinear
 from pwcnet_tpu.ops.warp import warp_bilinear
 
@@ -248,9 +250,12 @@ class PWCNet(nn.Module):
                     f1, f2, pix, max_displacement=self.search_range,
                     halo_rows=self.spatial_halo, axis=self.spatial_axis,
                     backend=self.corr_backend)
-            elif pix is not None and self.corr_backend == "fused":
+            elif (pix is not None and self.corr_backend == "fused"
+                  and _fused_ok(f1.shape[1], f1.shape[2])):
                 # Single-kernel warp+corr: the warped tensor never leaves
-                # VMEM (ops/pallas/warp_corr_kernel.py).
+                # VMEM (ops/pallas/warp_corr_kernel.py). Only at levels
+                # large enough to win (measured crossover, see
+                # fused_is_profitable) — small levels run composed pallas.
                 from pwcnet_tpu.ops.pallas.warp_corr_kernel import (
                     warp_corr_fused)
                 corr = warp_corr_fused(f1, f2, pix,

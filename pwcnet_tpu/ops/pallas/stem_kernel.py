@@ -294,12 +294,445 @@ def _stem_impl(im: jax.Array, params: Params, interpret: bool) -> jax.Array:
 
 
 def stem_ref(im: jax.Array, params: Params) -> jax.Array:
-    """XLA reference: the plain conv chain (oracle + backward)."""
+    """XLA reference: the plain conv chain (oracle + backward fallback)."""
     (w1, b1), (w2, b2), (w3, b3), (w4, b4) = params
     y = conv_ref(im, w1, b1, stride=2, slope=0.1)
     y = conv_ref(y, w2, b2, slope=0.1)
     y = conv_ref(y, w3, b3, stride=2, slope=0.1)
     return conv_ref(y, w4, b4, slope=0.1)
+
+
+# ---------------------------------------------------------------------------
+# Hand-written backward kernel (VERDICT r2 missing #4: train on the fused
+# stem). Flash-attention-style: residuals are only (image, params); each
+# backward tile RECOMPUTES its F1/F2/F3 rows in VMEM (the forward body,
+# same row/lane arithmetic) and then walks the chain conv4..conv1
+# backward in-kernel:
+#   - dW_l: transpose matmuls  E_l^T @ p_l  (contraction over tile rows x
+#     lane groups — large MXU contractions), accumulated across grid
+#     steps in revisited f32 output blocks (constant index_map).
+#   - db_l: row-sums of p_l, same accumulation.
+#   - upstream grads: p_l @ W_l^T into extended-patch grad scratches,
+#     then the transpose of the E-column gather scatters them back to
+#     feature-grad scratches (static lane slices, overlap-add).
+#   - LeakyReLU masks (1 / 0.1, x the forward's valid-row mask) are
+#     captured during the recompute; stride-2 row parity is handled by
+#     accumulating E-grads in the (pair, parity) layout and un-pairing
+#     with a free value reshape.
+#   - d_im: per-tile extended row blocks (tiles overlap by the conv
+#     halo); the wrapper overlap-adds them in XLA.
+# Weight grads come out in the embedded-matrix layout; _unembed_s1/_s2
+# (exact transposes of _embed_s1/_embed_s2) fold them back to (3,3,ci,co).
+# ---------------------------------------------------------------------------
+
+
+def _unembed_s1(ge: jax.Array, g: int, ci: int, co: int) -> jax.Array:
+    """Transpose of :func:`_embed_s1`: (3, (g+2)*ci, g*co) -> (3,3,ci,co)."""
+    ge = ge.reshape(3, g + 2, ci, g, co)
+    out = jnp.zeros((3, 3, ci, co), ge.dtype)
+    for j in range(g):
+        for dx in range(3):
+            out = out.at[:, dx].add(ge[:, j + dx, :, j, :])
+    return out
+
+
+def _unembed_s2(ge: jax.Array, g: int, cpair: int) -> jax.Array:
+    """Transpose of :func:`_embed_s2`: (3, (g+1)*cpair, g*co) -> (3,3,ci,co)
+    with ci = cpair // 2."""
+    ci = cpair // 2
+    co = ge.shape[-1] // g
+    ge = ge.reshape(3, g + 1, 2, ci, g, co)
+    out = jnp.zeros((3, 3, ci, co), ge.dtype)
+    for j in range(g):
+        for v in range(3):
+            dx, px = divmod(v, 2)
+            out = out.at[:, v].add(ge[:, j + dx, px, :, j, :])
+    return out
+
+
+def _stem_bwd_kernel(x0_ref, x1_ref, g_ref,
+                     w1_ref, w2_ref, w3_ref, w4_ref,
+                     t1_ref, t2_ref, t3_ref, t4_ref,
+                     b1_ref, b2_ref, b3_ref, b4_ref,
+                     dim_ref, dw1_ref, dw2_ref, dw3_ref, dw4_ref,
+                     db1_ref, db2_ref, db3_ref, db4_ref,
+                     xs, e1, f1, e2, f2, e3, f3, e4,
+                     m1, m2, m3,
+                     ge4, gf3, ge3a, gf2, ge2, gf1, ge1a, dxs, *,
+                     t: int, g1: int, c1: int, c2: int, wg: int,
+                     h1: int, h2: int):
+    """One tile: backward for level-2 gradient rows [i*t, i*t + t)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    g2 = g1 // 2
+    cim = 6
+    cp1 = 2 * c1
+    cof1 = g1 * c1
+    cof2 = g2 * c2
+    k1 = (g1 + 1) * cim
+    k2 = (g1 + 2) * c1
+    k3 = (g2 + 1) * cp1
+    k4 = (g2 + 2) * c2
+    r1 = 2 * t + 7
+    r2 = 2 * t + 5
+    r3 = t + 2
+    f32 = jnp.float32
+
+    def lrelu(x):
+        return jnp.where(x >= 0, x, 0.1 * x)
+
+    def mask_of(acc, rows, first_abs, valid):
+        """LeakyReLU' (1 / 0.1) x the forward's valid-row mask."""
+        m = jnp.where(acc >= 0, f32(1.0), f32(0.1)).reshape(rows, wg, -1)
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0) + first_abs
+        ok = (ridx >= 0) & (ridx < valid)
+        return jnp.where(ok, m, jnp.zeros_like(m))
+
+    # ==================== recompute (forward body) =====================
+    xs[:4 * t] = x0_ref[0]
+    xs[4 * t:] = x1_ref[0]
+
+    # conv1 (image -> F1, row stride 2)
+    for j in range(g1 + 1):
+        grp, lane = divmod(j + g1, g1)
+        e1[:, :, j * cim:(j + 1) * cim] = (
+            xs[:4 * t + 16, grp:grp + wg, lane * cim:(lane + 1) * cim])
+    e1a = e1[...].reshape(2 * t + 8, 2, wg, k1)
+    acc = jnp.zeros((r1 * wg, cof1), f32)
+    for u in range(3):
+        sl = e1a[1:r1 + 1, 0] if u == 2 else e1a[:r1, u]
+        acc = acc + jnp.dot(sl.reshape(r1 * wg, k1), w1_ref[u],
+                            preferred_element_type=f32)
+    acc = acc + b1_ref[...].astype(f32)
+    m1[...] = mask_of(acc, r1, 2 * i * t - 3, h1).astype(m1.dtype)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (r1, 1, 1), 0) + 2 * i * t - 3
+    ok = (ridx >= 0) & (ridx < h1)
+    res = jnp.where(ok, lrelu(acc).reshape(r1, wg, cof1), 0.0)
+    f1[:, 0, :] = jnp.zeros_like(f1[:, 0, :])
+    f1[:, wg + 1, :] = jnp.zeros_like(f1[:, wg + 1, :])
+    f1[:, 1:wg + 1, :] = res.astype(f1.dtype)
+
+    # conv2 (F1 -> F2, 3x3)
+    for j in range(g1 + 2):
+        grp, lane = divmod(j - 1 + g1, g1)
+        e2[:, :, j * c1:(j + 1) * c1] = (
+            f1[:r1, grp:grp + wg, lane * c1:(lane + 1) * c1])
+    acc = jnp.zeros((r2 * wg, cof1), f32)
+    for dy in range(3):
+        acc = acc + jnp.dot(e2[dy:dy + r2].reshape(r2 * wg, k2), w2_ref[dy],
+                            preferred_element_type=f32)
+    acc = acc + b2_ref[...].astype(f32)
+    m2[...] = mask_of(acc, r2, 2 * i * t - 2, h1).astype(m2.dtype)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (r2, 1, 1), 0) + 2 * i * t - 2
+    ok = (ridx >= 0) & (ridx < h1)
+    res = jnp.where(ok, lrelu(acc).reshape(r2, wg, cof1), 0.0)
+    f2[:, 0, :] = jnp.zeros_like(f2[:, 0, :])
+    f2[:, wg + 1, :] = jnp.zeros_like(f2[:, wg + 1, :])
+    f2[:, 1:wg + 1, :] = res.astype(f2.dtype)
+
+    # conv3 (F2 -> F3, row stride 2)
+    for j in range(g2 + 1):
+        grp, lane = divmod(j + g2, g2)
+        e3[:r2, :, j * cp1:(j + 1) * cp1] = (
+            f2[:r2, grp:grp + wg, lane * cp1:(lane + 1) * cp1])
+    e3[r2:, :, :] = jnp.zeros_like(e3[r2:, :, :])
+    e3a = e3[...].reshape(t + 3, 2, wg, k3)
+    acc = jnp.zeros((r3 * wg, cof2), f32)
+    for u in range(3):
+        sl = e3a[1:r3 + 1, 0] if u == 2 else e3a[:r3, u]
+        acc = acc + jnp.dot(sl.reshape(r3 * wg, k3), w3_ref[u],
+                            preferred_element_type=f32)
+    acc = acc + b3_ref[...].astype(f32)
+    m3[...] = mask_of(acc, r3, i * t - 1, h2).astype(m3.dtype)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (r3, 1, 1), 0) + i * t - 1
+    ok = (ridx >= 0) & (ridx < h2)
+    res = jnp.where(ok, lrelu(acc).reshape(r3, wg, cof2), 0.0)
+    f3[:, 0, :] = jnp.zeros_like(f3[:, 0, :])
+    f3[:, wg + 1, :] = jnp.zeros_like(f3[:, wg + 1, :])
+    f3[:, 1:wg + 1, :] = res.astype(f3.dtype)
+
+    # conv4 pre-activation (mask used immediately; no scratch needed)
+    for j in range(g2 + 2):
+        grp, lane = divmod(j - 1 + g2, g2)
+        e4[:, :, j * c2:(j + 1) * c2] = (
+            f3[:r3, grp:grp + wg, lane * c2:(lane + 1) * c2])
+    acc4 = jnp.zeros((t * wg, cof2), f32)
+    for dy in range(3):
+        acc4 = acc4 + jnp.dot(e4[dy:dy + t].reshape(t * wg, k4), w4_ref[dy],
+                              preferred_element_type=f32)
+    acc4 = acc4 + b4_ref[...].astype(f32)
+    m4 = jnp.where(acc4 >= 0, f32(1.0), f32(0.1))
+
+    # ==================== backward chain ===============================
+    first = jnp.logical_and(b == 0, i == 0)
+
+    @pl.when(first)
+    def _():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        dw3_ref[...] = jnp.zeros_like(dw3_ref)
+        dw4_ref[...] = jnp.zeros_like(dw4_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+        db3_ref[...] = jnp.zeros_like(db3_ref)
+        db4_ref[...] = jnp.zeros_like(db4_ref)
+
+    dt = xs.dtype
+
+    # --- conv4 backward ---
+    p4 = g_ref[0].reshape(t * wg, cof2).astype(f32) * m4
+    db4_ref[...] += jnp.sum(p4, axis=0, keepdims=True)
+    p4b = p4.astype(dt)
+    for dy in range(3):
+        dw4_ref[dy] += jax.lax.dot_general(
+            e4[dy:dy + t].reshape(t * wg, k4), p4b,
+            (((0,), (0,)), ((), ())), preferred_element_type=f32)
+    ge4[...] = jnp.zeros_like(ge4)
+    for dy in range(3):
+        ge4[dy:dy + t] += jnp.dot(
+            p4b, t4_ref[dy], preferred_element_type=f32
+        ).reshape(t, wg, k4).astype(ge4.dtype)
+
+    # transpose of the e4 gather -> F3 grads
+    gf3[...] = jnp.zeros_like(gf3)
+    for j in range(g2 + 2):
+        grp, lane = divmod(j - 1 + g2, g2)
+        gf3[:, grp:grp + wg, lane * c2:(lane + 1) * c2] += (
+            ge4[:r3, :, j * c2:(j + 1) * c2])
+
+    # --- conv3 backward (stride 2: pair/parity E-grad layout) ---
+    p3 = (gf3[:, 1:wg + 1, :].astype(f32)
+          * m3[...].astype(f32)).reshape(r3 * wg, cof2)
+    db3_ref[...] += jnp.sum(p3, axis=0, keepdims=True)
+    p3b = p3.astype(dt)
+    for u in range(3):
+        sl = e3a[1:r3 + 1, 0] if u == 2 else e3a[:r3, u]
+        dw3_ref[u] += jax.lax.dot_general(
+            sl.reshape(r3 * wg, k3), p3b,
+            (((0,), (0,)), ((), ())), preferred_element_type=f32)
+    ge3a[...] = jnp.zeros_like(ge3a)
+    for u in range(3):
+        gu = jnp.dot(p3b, t3_ref[u], preferred_element_type=f32
+                     ).reshape(r3, wg, k3).astype(ge3a.dtype)
+        if u == 2:
+            ge3a[1:r3 + 1, 0] += gu
+        else:
+            ge3a[:r3, u] += gu
+    ge3v = ge3a[...].reshape(2 * t + 6, wg, k3)  # un-pair: free reshape
+
+    gf2[...] = jnp.zeros_like(gf2)
+    for j in range(g2 + 1):
+        grp, lane = divmod(j + g2, g2)
+        gf2[:, grp:grp + wg, lane * cp1:(lane + 1) * cp1] += (
+            ge3v[:r2, :, j * cp1:(j + 1) * cp1])
+
+    # --- conv2 backward ---
+    p2 = (gf2[:, 1:wg + 1, :].astype(f32)
+          * m2[...].astype(f32)).reshape(r2 * wg, cof1)
+    db2_ref[...] += jnp.sum(p2, axis=0, keepdims=True)
+    p2b = p2.astype(dt)
+    for dy in range(3):
+        dw2_ref[dy] += jax.lax.dot_general(
+            e2[dy:dy + r2].reshape(r2 * wg, k2), p2b,
+            (((0,), (0,)), ((), ())), preferred_element_type=f32)
+    ge2[...] = jnp.zeros_like(ge2)
+    for dy in range(3):
+        ge2[dy:dy + r2] += jnp.dot(
+            p2b, t2_ref[dy], preferred_element_type=f32
+        ).reshape(r2, wg, k2).astype(ge2.dtype)
+
+    gf1[...] = jnp.zeros_like(gf1)
+    for j in range(g1 + 2):
+        grp, lane = divmod(j - 1 + g1, g1)
+        gf1[:, grp:grp + wg, lane * c1:(lane + 1) * c1] += (
+            ge2[:r1, :, j * c1:(j + 1) * c1])
+
+    # --- conv1 backward ---
+    p1 = (gf1[:, 1:wg + 1, :].astype(f32)
+          * m1[...].astype(f32)).reshape(r1 * wg, cof1)
+    db1_ref[...] += jnp.sum(p1, axis=0, keepdims=True)
+    p1b = p1.astype(dt)
+    for u in range(3):
+        sl = e1a[1:r1 + 1, 0] if u == 2 else e1a[:r1, u]
+        dw1_ref[u] += jax.lax.dot_general(
+            sl.reshape(r1 * wg, k1), p1b,
+            (((0,), (0,)), ((), ())), preferred_element_type=f32)
+    ge1a[...] = jnp.zeros_like(ge1a)
+    for u in range(3):
+        gu = jnp.dot(p1b, t1_ref[u], preferred_element_type=f32
+                     ).reshape(r1, wg, k1).astype(ge1a.dtype)
+        if u == 2:
+            ge1a[1:r1 + 1, 0] += gu
+        else:
+            ge1a[:r1, u] += gu
+    ge1v = ge1a[...].reshape(4 * t + 16, wg, k1)
+
+    dxs[...] = jnp.zeros_like(dxs)
+    for j in range(g1 + 1):
+        grp, lane = divmod(j + g1, g1)
+        dxs[:, grp:grp + wg, lane * cim:(lane + 1) * cim] += (
+            ge1v[:, :, j * cim:(j + 1) * cim])
+    dim_ref[0, 0] = dxs[...]
+
+
+def _stem_backward_pallas(im: jax.Array, params: Params, grad: jax.Array,
+                          interpret: bool):
+    """Hand-written backward: returns (d_im, d_params) matching
+    ``jax.vjp(stem_ref, im, params)`` numerics (bf16-grade)."""
+    n, h, w, cin = im.shape
+    (w1, b1), (w2, b2), (w3, b3), (w4, b4) = params
+    c1, c2 = w1.shape[-1], w3.shape[-1]
+    h1, h2 = h // 2, h // 4
+    g1 = _pick_g1(w, c1)
+    g2 = g1 // 2
+    wg = (w // 2) // g1
+    cp1 = 2 * c1
+    cim = 6
+    k1 = (g1 + 1) * cim
+    k2 = (g1 + 2) * c1
+    k3 = (g2 + 1) * cp1
+    k4 = (g2 + 2) * c2
+    dt = im.dtype
+    s = dt.itemsize
+
+    t = 8
+    r1, r2, r3 = 2 * t + 7, 2 * t + 5, t + 2
+    n_tiles = _cdiv(h2, t)
+
+    # VMEM estimate: recompute scratches + masks + grad scratches + blocks.
+    est = s * (
+        8 * t * (wg + 2) * g1 * cim            # xs
+        + (4 * t + 16) * wg * k1               # e1
+        + r1 * (wg + 2) * g1 * c1              # f1
+        + r1 * wg * k2                         # e2
+        + r2 * (wg + 2) * g1 * c1              # f2
+        + (2 * t + 6) * wg * k3                # e3
+        + r3 * (wg + 2) * g2 * c2              # f3
+        + r3 * wg * k4                         # e4
+        + r1 * wg * g1 * c1 + r2 * wg * g1 * c1 + r3 * wg * g2 * c2  # m1-3
+        + r3 * wg * k4                         # ge4
+        + r3 * (wg + 2) * g2 * c2              # gf3
+        + (2 * t + 6) * wg * k3                # ge3a
+        + r2 * (wg + 2) * g1 * c1              # gf2
+        + r1 * wg * k2                         # ge2
+        + r1 * (wg + 2) * g1 * c1              # gf1
+        + (4 * t + 16) * wg * k1               # ge1a
+        + (4 * t + 16) * (wg + 2) * g1 * cim   # dxs
+        + 2 * 2 * 4 * t * (wg + 2) * g1 * cim  # x blocks (dbl-buffered)
+        + 2 * t * wg * g2 * c2                 # g block
+        + 2 * (4 * t + 16) * (wg + 2) * g1 * cim  # dim out (dbl-buffered)
+    ) + 4 * (3 * (k1 + k2 + k3 + k4) * 128)    # dW blocks f32 (approx)
+    if est > 12 * 2 ** 20:
+        return None  # caller falls back to the XLA chain
+
+    # Inputs: folded image (as in forward) + folded, row-padded grad.
+    xf = im.reshape(n, h, wg, g1 * 2 * 3)
+    xf = jnp.pad(xf, ((0, 0), (6, (n_tiles + 1) * 4 * t - h - 6),
+                      (1, 1), (0, 0)))
+    gf = grad.reshape(n, h2, wg, g2 * c2)
+    gf = jnp.pad(gf, ((0, 0), (0, n_tiles * t - h2), (0, 0), (0, 0)))
+
+    wm1 = _embed_s2(w1, g1, cim).astype(dt)
+    wm2 = _embed_s1(w2, g1).astype(dt)
+    wm3 = _embed_s2(w3, g2, cp1).astype(dt)
+    wm4 = _embed_s1(w4, g2).astype(dt)
+    tr = lambda wm: jnp.transpose(wm, (0, 2, 1))
+    bf = lambda bb, g: jnp.tile(bb.astype(jnp.float32), g).reshape(1, -1)
+
+    blk = lambda off: pl.BlockSpec(
+        (1, 4 * t, wg + 2, g1 * cim), lambda bb, i, _o=off: (bb, i + _o, 0, 0),
+        memory_space=pltpu.VMEM)
+    wspec = lambda a: pl.BlockSpec(a.shape, lambda bb, i: (0,) * a.ndim,
+                                   memory_space=pltpu.VMEM)
+    accspec = lambda shape: pl.BlockSpec(
+        shape, lambda bb, i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((n, n_tiles, 4 * t + 16, wg + 2, g1 * cim), dt),
+        jax.ShapeDtypeStruct((3, k1, g1 * c1), jnp.float32),
+        jax.ShapeDtypeStruct((3, k2, g1 * c1), jnp.float32),
+        jax.ShapeDtypeStruct((3, k3, g2 * c2), jnp.float32),
+        jax.ShapeDtypeStruct((3, k4, g2 * c2), jnp.float32),
+        jax.ShapeDtypeStruct((1, g1 * c1), jnp.float32),
+        jax.ShapeDtypeStruct((1, g1 * c1), jnp.float32),
+        jax.ShapeDtypeStruct((1, g2 * c2), jnp.float32),
+        jax.ShapeDtypeStruct((1, g2 * c2), jnp.float32),
+    )
+    out_specs = (
+        pl.BlockSpec((1, 1, 4 * t + 16, wg + 2, g1 * cim),
+                     lambda bb, i: (bb, i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        accspec((3, k1, g1 * c1)), accspec((3, k2, g1 * c1)),
+        accspec((3, k3, g2 * c2)), accspec((3, k4, g2 * c2)),
+        accspec((1, g1 * c1)), accspec((1, g1 * c1)),
+        accspec((1, g2 * c2)), accspec((1, g2 * c2)),
+    )
+
+    outs = pl.pallas_call(
+        functools.partial(_stem_bwd_kernel, t=t, g1=g1, c1=c1, c2=c2,
+                          wg=wg, h1=h1, h2=h2),
+        out_shape=out_shapes,
+        grid=(n, n_tiles),
+        in_specs=[blk(0), blk(1),
+                  pl.BlockSpec((1, t, wg, g2 * c2),
+                               lambda bb, i: (bb, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  wspec(wm1), wspec(wm2), wspec(wm3), wspec(wm4),
+                  wspec(tr(wm1)), wspec(tr(wm2)), wspec(tr(wm3)),
+                  wspec(tr(wm4))]
+                 + [wspec(x) for x in (bf(b1, g1), bf(b2, g1),
+                                       bf(b3, g2), bf(b4, g2))],
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((8 * t, wg + 2, g1 * cim), dt),            # xs
+            pltpu.VMEM((4 * t + 16, wg, k1), dt),                 # e1
+            pltpu.VMEM((r1, wg + 2, g1 * c1), dt),                # f1
+            pltpu.VMEM((r1, wg, k2), dt),                         # e2
+            pltpu.VMEM((r2, wg + 2, g1 * c1), dt),                # f2
+            pltpu.VMEM((2 * t + 6, wg, k3), dt),                  # e3
+            pltpu.VMEM((r3, wg + 2, g2 * c2), dt),                # f3
+            pltpu.VMEM((r3, wg, k4), dt),                         # e4
+            pltpu.VMEM((r1, wg, g1 * c1), dt),                    # m1
+            pltpu.VMEM((r2, wg, g1 * c1), dt),                    # m2
+            pltpu.VMEM((r3, wg, g2 * c2), dt),                    # m3
+            pltpu.VMEM((r3, wg, k4), dt),                         # ge4
+            pltpu.VMEM((r3, wg + 2, g2 * c2), dt),                # gf3
+            pltpu.VMEM((t + 3, 2, wg, k3), dt),                   # ge3a
+            pltpu.VMEM((r2, wg + 2, g1 * c1), dt),                # gf2
+            pltpu.VMEM((r1, wg, k2), dt),                         # ge2
+            pltpu.VMEM((r1, wg + 2, g1 * c1), dt),                # gf1
+            pltpu.VMEM((2 * t + 8, 2, wg, k1), dt),               # ge1a
+            pltpu.VMEM((4 * t + 16, wg + 2, g1 * cim), dt),       # dxs
+        ],
+        interpret=interpret,
+    )(xf, xf, gf, wm1, wm2, wm3, wm4, tr(wm1), tr(wm2), tr(wm3), tr(wm4),
+      bf(b1, g1), bf(b2, g1), bf(b3, g2), bf(b4, g2))
+    dim_t, dw1e, dw2e, dw3e, dw4e, dbe1, dbe2, dbe3, dbe4 = outs
+
+    # Overlap-add the per-tile extended d_im blocks (tiles overlap by the
+    # conv halo rows); rows are relative to the 6-row-top-padded xf.
+    rows_p = xf.shape[1]
+    acc = jnp.zeros((n, rows_p, wg + 2, g1 * cim), jnp.float32)
+    for i in range(n_tiles):
+        acc = jax.lax.dynamic_update_slice(
+            acc, jax.lax.dynamic_slice(
+                acc, (0, 4 * i * t, 0, 0), (n, 4 * t + 16, wg + 2, g1 * cim)
+            ) + dim_t[:, i].astype(jnp.float32),
+            (0, 4 * i * t, 0, 0))
+    d_im = acc[:, 6:6 + h, 1:wg + 1].reshape(n, h, w, cin).astype(dt)
+
+    unt = lambda dbe, g, c: dbe.reshape(g, c).sum(0)
+    d_params = (
+        (_unembed_s2(dw1e, g1, cim).astype(w1.dtype),
+         unt(dbe1, g1, c1).astype(b1.dtype)),
+        (_unembed_s1(dw2e, g1, c1, c1).astype(w2.dtype),
+         unt(dbe2, g1, c1).astype(b2.dtype)),
+        (_unembed_s2(dw3e, g2, cp1).astype(w3.dtype),
+         unt(dbe3, g2, c2).astype(b3.dtype)),
+        (_unembed_s1(dw4e, g2, c2, c2).astype(w4.dtype),
+         unt(dbe4, g2, c2).astype(b4.dtype)),
+    )
+    return d_im, d_params
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

@@ -52,6 +52,18 @@ from pwcnet_tpu.ops.pallas.cost_volume_kernel import (
     _to_cf,
 )
 
+# Measured crossover (v5e, benchmarks/results/roofline_v5e_448x1024_r3.json):
+# the fused kernel beats composed warp+corr at PWC level 2 (28672 px,
+# 269 vs 314 us), ties level 3 (7168 px), and loses at smaller levels
+# where the 4C corner-table read amortizes over too few pixels. Dispatch
+# fuses only above this pixel count.
+FUSED_MIN_PIXELS = 16384
+
+
+def fused_is_profitable(h: int, w: int) -> bool:
+    """Measured heuristic: fuse warp+corr only at shapes where it wins."""
+    return h * w >= FUSED_MIN_PIXELS
+
 
 def _pick_tile_fused(w: int, c: int, d: int, itemsize: int) -> int | None:
     """Largest row tile whose double-buffered fused blocks fit VMEM."""

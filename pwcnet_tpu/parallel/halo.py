@@ -175,11 +175,16 @@ def warp_corr_spatial(f1: jax.Array, f2: jax.Array,
         row0 = jax.lax.axis_index(axis) * t
         h_global = jax.lax.axis_size(axis) * t
         f2e = exchange_halo(f2_l, halo, axis)
-        if flow_l is not None and backend == "fused":
+        from pwcnet_tpu.ops.pallas.warp_corr_kernel import (
+            fused_is_profitable)
+        if (flow_l is not None and backend == "fused"
+                and fused_is_profitable(t, f1_l.shape[2])):
             # Fused blend+corr on the halo-extended rows: the corner
             # gather (with global-coordinate masks) runs in XLA, the
             # bilinear blend + 81-tap correlation in one Pallas kernel
             # (VERDICT r2 weak #3: 'fused' x spatial previously crashed).
+            # Shard-local shapes below the measured fused-win crossover
+            # run the composed path like the unsharded dispatch.
             from pwcnet_tpu.ops.pallas.warp_corr_kernel import (
                 warp_corr_fused_prepadded)
             flow_e = exchange_halo(flow_l, d, axis)

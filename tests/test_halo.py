@@ -83,7 +83,10 @@ def test_cost_volume_prepadded_matches_zero_padded(rng):
 
 @pytest.mark.parametrize("backend", ["lax", "pallas", "fused"])
 @pytest.mark.parametrize("with_flow", [False, True])
-def test_warp_corr_spatial_matches_unsharded(smesh, backend, with_flow, rng):
+def test_warp_corr_spatial_matches_unsharded(smesh, backend, with_flow, rng,
+                                             monkeypatch):
+    from pwcnet_tpu.ops.pallas import warp_corr_kernel as wck
+    monkeypatch.setattr(wck, "FUSED_MIN_PIXELS", 0)  # exercise fused here
     n, h, w, c, d = 1, 32, 24, 8, 2
     f1 = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
     f2 = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
@@ -133,7 +136,10 @@ def test_warp_corr_spatial_gradients(smesh, rng):
 
 
 @pytest.mark.parametrize("backend", ["pallas", "fused"])
-def test_spatial_forward_kernel_backends_match_unsharded(backend):
+def test_spatial_forward_kernel_backends_match_unsharded(backend,
+                                                         monkeypatch):
+    from pwcnet_tpu.ops.pallas import warp_corr_kernel as wck
+    monkeypatch.setattr(wck, "FUSED_MIN_PIXELS", 0)
     """VERDICT r1 #5 / r2 weak #3 'Done' criteria: halo-sharded full
     forward equals the unsharded forward with the Pallas correlation AND
     the fused warp+corr backend (previously 'fused' x spatial crashed)."""

@@ -129,10 +129,21 @@ def test_fused_prepadded_matches_composed_prepadded():
                                    atol=1e-4, rtol=1e-4)
 
 
-def test_model_fused_backend_matches_lax():
+def test_fused_is_profitable_threshold():
+    """Measured dispatch heuristic: fuse only at/above the level-2-sized
+    crossover (roofline_v5e_448x1024_r3.json)."""
+    from pwcnet_tpu.ops.pallas.warp_corr_kernel import fused_is_profitable
+    assert fused_is_profitable(112, 256)       # Sintel level 2
+    assert not fused_is_profitable(56, 128)    # level 3: composed wins/ties
+
+
+def test_model_fused_backend_matches_lax(monkeypatch):
     """PWCNet(corr_backend='fused') forward == corr_backend='lax' with the
-    same params (dispatch-only difference)."""
+    same params (dispatch-only difference). The profitability threshold is
+    lowered so the test shapes actually exercise the fused kernel."""
     from pwcnet_tpu.models import PWCNet
+    from pwcnet_tpu.ops.pallas import warp_corr_kernel as wck
+    monkeypatch.setattr(wck, "FUSED_MIN_PIXELS", 0)
     im = jax.random.uniform(jax.random.key(4), (1, 64, 64, 3), jnp.float32)
     im2 = jax.random.uniform(jax.random.key(5), (1, 64, 64, 3), jnp.float32)
     m_lax = PWCNet(corr_backend="lax", dtype=jnp.float32)
