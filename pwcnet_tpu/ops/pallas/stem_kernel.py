@@ -722,7 +722,7 @@ def _stem_backward_pallas(im: jax.Array, params: Params, grad: jax.Array,
     d_im = acc[:, 6:6 + h, 1:wg + 1].reshape(n, h, w, cin).astype(dt)
 
     unt = lambda dbe, g, c: dbe.reshape(g, c).sum(0)
-    d_params = (
+    grads = (
         (_unembed_s2(dw1e, g1, cim).astype(w1.dtype),
          unt(dbe1, g1, c1).astype(b1.dtype)),
         (_unembed_s1(dw2e, g1, c1, c1).astype(w2.dtype),
@@ -732,6 +732,11 @@ def _stem_backward_pallas(im: jax.Array, params: Params, grad: jax.Array,
         (_unembed_s1(dw4e, g2, c2, c2).astype(w4.dtype),
          unt(dbe4, g2, c2).astype(b4.dtype)),
     )
+    # Mirror the caller's params container exactly (list vs tuple — the
+    # custom-VJP contract requires an identical pytree structure).
+    d_params = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(params),
+        [leaf for pair in grads for leaf in pair])
     return d_im, d_params
 
 
@@ -746,6 +751,14 @@ def _stem_fwd(im, params, interpret):
 
 def _stem_bwd(interpret, res, grad):
     im, params = res
+    n, h, w, cin = im.shape
+    if (cin == 3 and h % 4 == 0 and (h // 4) >= 8
+            and _pick_g1(w, params[0][0].shape[-1]) >= 2):
+        out = _stem_backward_pallas(im, params, grad, interpret)
+        if out is not None:
+            return out
+    # Fallback: XLA autodiff of the reference chain (unfoldable widths /
+    # VMEM-overflow shapes).
     _, vjp = jax.vjp(stem_ref, im, params)
     return vjp(grad)
 
