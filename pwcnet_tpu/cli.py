@@ -47,8 +47,9 @@ def cmd_eval(args) -> int:
 
     cfg = _load_cfg(args)
     model = build_model(cfg)
-    ds_kw = ({"hw": cfg.data.sample_hw} if cfg.data.name == "synthetic"
-             else {})
+    ds_kw = ({"hw": cfg.data.sample_hw,
+              "regime": cfg.data.synthetic_regime}
+             if cfg.data.name == "synthetic" else {})
     ds = get_dataset(cfg.data.name, cfg.data.root, split=args.split, **ds_kw)
     dummy = np.zeros((1, 64, 64, 3), np.float32)
     params = jax.jit(model.init)(jax.random.key(0), dummy, dummy)

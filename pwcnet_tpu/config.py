@@ -61,6 +61,10 @@ class DataConfig:
     # Synthetic dataset only: generate training batches *on device* inside
     # a jitted generator (no host<->device transfer in the hot loop).
     device_gen: bool = False
+    # Synthetic dataset regime: "smooth" (<=~20 px, no occlusion — the
+    # convention-proof setting) | "hard" (displacements to ~100 px + a
+    # second moving layer with real occlusions).
+    synthetic_regime: str = "smooth"
     augment: AugmentConfig = field(default_factory=AugmentConfig)
 
 
@@ -147,6 +151,22 @@ PRESETS = {
             summary_interval=200, eval_interval=2500,
             checkpoint_interval=5000, eval_limit=128,
             log_dir="runs/synthetic-proof"),
+    ),
+    # Hard synthetic regime: large displacements (to ~100 px) + occlusions
+    # from a second moving layer — the Sintel-difficulty proxy while /data
+    # is absent (eval reports EPE by displacement-magnitude bin).
+    "synthetic-hard": Config(
+        data=DataConfig(name="synthetic", root="-", crop_hw=(384, 448),
+                        sample_hw=(384, 448), eval_batch=8, device_gen=True,
+                        synthetic_regime="hard"),
+        train=TrainConfig(
+            global_batch=8,
+            schedule=ScheduleConfig(base_lr=1e-4,
+                                    milestones=(60_000, 90_000, 110_000),
+                                    total_steps=125_000),
+            summary_interval=200, eval_interval=2500,
+            checkpoint_interval=5000, eval_limit=128,
+            log_dir="runs/synthetic-hard"),
     ),
     "raft-chairs": Config(  # stretch: RAFT-style iterative head
         model=ModelConfig(family="raft"),

@@ -43,6 +43,20 @@ BUMP_AMP = 5.0          # px, uniform +/-
 AFFINE_LIN = 0.02       # linear-part entries, uniform +/-
 AFFINE_SHIFT = 8.0      # translation, px, uniform +/-
 
+# "hard" regime (VERDICT r2 next #10): large displacements + a second,
+# nearer moving layer producing real occlusions — the best available
+# proxy for Sintel-like difficulty (displacements up to 100+ px,
+# occlusion boundaries) while /data stays absent. The smooth regime's
+# sampling stream is untouched (it backs the committed 125k learning
+# proof and its regression test).
+HARD_AFFINE_SHIFT = 40.0    # background translation, px, uniform +/-
+HARD_BUMP_AMP = 20.0        # bump amplitude, px, uniform +/-
+FG_SHIFT = 56.0             # foreground rigid translation, px, uniform +/-
+FG_ROT = 0.15               # foreground rotation, rad, uniform +/-
+FG_AX = (20.0, 90.0)        # foreground ellipse semi-axes, px
+FG_EDGE = 1.0               # sigmoid edge softness, px
+FG_BAND = (0.02, 0.98)      # mask band marked invalid (ambiguous GT)
+
 
 def _render(xp, hw: Tuple[int, int], p: Dict) -> Dict:
     """Evaluate texture + flow on the pixel grid; array-module generic.
@@ -81,60 +95,149 @@ def _render(xp, hw: Tuple[int, int], p: Dict) -> Dict:
     im2 = texture(xs, ys)
     im1 = texture(xs + u, ys + v)  # im1(x) = im2(x + u(x)), exactly
     flow = xp.stack([u, v], axis=-1)
-    return {"im1": im1, "im2": im2, "flow": flow}
+    if "fg_pos" not in p:
+        return {"im1": im1, "im2": im2, "flow": flow,
+                "valid": xp.ones((h, w), xp.float32)}
+
+    # ---- hard regime: composite a nearer rigid layer over the scene ----
+    # Foreground shape: a rotated soft ellipse defined in frame 2;
+    # foreground motion is rigid (rotation about the ellipse center +
+    # translation), so both content and mask warp analytically:
+    #   u_f(x) = (R - I)(x - c) + t;  im1_f(x) = T_f(x + u_f(x));
+    #   mask1(x) = M(x + u_f(x)).
+    def fg_texture(x, y):
+        ph = (2.0 * math.pi) * (p["ffx"][:, None, None] * x[None]
+                                + p["ffy"][:, None, None] * y[None])
+        waves = xp.cos(ph + p["fphase"][:, None, None])
+        img = 0.5 + xp.tensordot(waves, p["fw"], axes=(0, 0))
+        return xp.clip(img, 0.0, 1.0)
+
+    def fg_mask(x, y):
+        dx0, dy0 = x - p["fg_pos"][0], y - p["fg_pos"][1]
+        ca, sa = xp.cos(p["fg_angle"]), xp.sin(p["fg_angle"])
+        ex = (ca * dx0 + sa * dy0) / p["fg_ax"][0]
+        ey = (-sa * dx0 + ca * dy0) / p["fg_ax"][1]
+        r = xp.sqrt(ex * ex + ey * ey + 1e-12)
+        # signed distance to the ellipse boundary, approx. in px.
+        dist = (r - 1.0) * xp.minimum(p["fg_ax"][0], p["fg_ax"][1])
+        return 1.0 / (1.0 + xp.exp(dist / FG_EDGE))
+
+    crot, srot = xp.cos(p["fg_rot"]), xp.sin(p["fg_rot"])
+    dxf, dyf = xs - p["fg_pos"][0], ys - p["fg_pos"][1]
+    uf = (crot - 1.0) * dxf - srot * dyf + p["fg_shift"][0]
+    vf = srot * dxf + (crot - 1.0) * dyf + p["fg_shift"][1]
+
+    m2 = fg_mask(xs, ys)[..., None]
+    m1 = fg_mask(xs + uf, ys + vf)[..., None]
+    im2 = m2 * fg_texture(xs, ys) + (1.0 - m2) * im2
+    im1 = m1 * fg_texture(xs + uf, ys + vf) + (1.0 - m1) * im1
+
+    # GT: foreground motion where frame 1 shows the foreground, else the
+    # background motion (defined through occlusion, as in Sintel GT).
+    fg1 = (m1[..., 0] >= 0.5).astype(xp.float32)[..., None]
+    flow = fg1 * xp.stack([uf, vf], axis=-1) + (1.0 - fg1) * flow
+    # The soft mask edge (~FG_EDGE px) mixes two motions; mark it invalid.
+    band = ((m1[..., 0] > FG_BAND[0]) & (m1[..., 0] < FG_BAND[1]))
+    valid = 1.0 - band.astype(xp.float32)
+    return {"im1": im1, "im2": im2, "flow": flow, "valid": valid}
 
 
-def _host_params(rng: np.random.Generator) -> Dict[str, np.ndarray]:
+def _host_params(rng: np.random.Generator,
+                 regime: str = "smooth") -> Dict[str, np.ndarray]:
+    shift = HARD_AFFINE_SHIFT if regime == "hard" else AFFINE_SHIFT
+    amp = HARD_BUMP_AMP if regime == "hard" else BUMP_AMP
     lam = np.exp(rng.uniform(np.log(WAVELEN_RANGE[0]),
                              np.log(WAVELEN_RANGE[1]), N_WAVES))
     theta = rng.uniform(0, 2 * math.pi, N_WAVES)
     sigma_w = TEX_STD * math.sqrt(2.0 / N_WAVES)
-    return {
+    p = {
         "fx": (np.cos(theta) / lam).astype(np.float32),
         "fy": (np.sin(theta) / lam).astype(np.float32),
         "phase": rng.uniform(0, 2 * math.pi, N_WAVES).astype(np.float32),
         "w": (rng.normal(0, sigma_w, (N_WAVES, 3))).astype(np.float32),
         "lin": rng.uniform(-AFFINE_LIN, AFFINE_LIN, (2, 2)).astype(
             np.float32),
-        "shift": rng.uniform(-AFFINE_SHIFT, AFFINE_SHIFT, 2).astype(
-            np.float32),
+        "shift": rng.uniform(-shift, shift, 2).astype(np.float32),
         "pos": rng.uniform(0, 1, (N_BUMPS, 2)).astype(np.float32),  # scaled
         "sigma": rng.uniform(*BUMP_SIGMA, N_BUMPS).astype(np.float32),
-        "amp": rng.uniform(-BUMP_AMP, BUMP_AMP, (N_BUMPS, 2)).astype(
-            np.float32),
+        "amp": rng.uniform(-amp, amp, (N_BUMPS, 2)).astype(np.float32),
     }
+    if regime == "hard":
+        lam_f = np.exp(rng.uniform(np.log(WAVELEN_RANGE[0]),
+                                   np.log(WAVELEN_RANGE[1]), N_WAVES))
+        th_f = rng.uniform(0, 2 * math.pi, N_WAVES)
+        p.update({
+            "ffx": (np.cos(th_f) / lam_f).astype(np.float32),
+            "ffy": (np.sin(th_f) / lam_f).astype(np.float32),
+            "fphase": rng.uniform(0, 2 * math.pi, N_WAVES).astype(
+                np.float32),
+            "fw": rng.normal(0, sigma_w, (N_WAVES, 3)).astype(np.float32),
+            "fg_pos": rng.uniform(0, 1, 2).astype(np.float32),  # scaled
+            "fg_ax": rng.uniform(*FG_AX, 2).astype(np.float32),
+            "fg_angle": np.float32(rng.uniform(0, math.pi)),
+            "fg_rot": np.float32(rng.uniform(-FG_ROT, FG_ROT)),
+            "fg_shift": rng.uniform(-FG_SHIFT, FG_SHIFT, 2).astype(
+                np.float32),
+        })
+    return p
 
 
-def _device_params(key: jax.Array) -> Dict[str, jax.Array]:
+def _device_params(key: jax.Array,
+                   regime: str = "smooth") -> Dict[str, jax.Array]:
+    shift = HARD_AFFINE_SHIFT if regime == "hard" else AFFINE_SHIFT
+    amp = HARD_BUMP_AMP if regime == "hard" else BUMP_AMP
     ks = jax.random.split(key, 8)
     lam = jnp.exp(jax.random.uniform(
         ks[0], (N_WAVES,), minval=math.log(WAVELEN_RANGE[0]),
         maxval=math.log(WAVELEN_RANGE[1])))
     theta = jax.random.uniform(ks[1], (N_WAVES,), maxval=2 * math.pi)
     sigma_w = TEX_STD * math.sqrt(2.0 / N_WAVES)
-    return {
+    p = {
         "fx": jnp.cos(theta) / lam,
         "fy": jnp.sin(theta) / lam,
         "phase": jax.random.uniform(ks[2], (N_WAVES,), maxval=2 * math.pi),
         "w": sigma_w * jax.random.normal(ks[3], (N_WAVES, 3)),
         "lin": jax.random.uniform(ks[4], (2, 2), minval=-AFFINE_LIN,
                                   maxval=AFFINE_LIN),
-        "shift": jax.random.uniform(ks[5], (2,), minval=-AFFINE_SHIFT,
-                                    maxval=AFFINE_SHIFT),
+        "shift": jax.random.uniform(ks[5], (2,), minval=-shift,
+                                    maxval=shift),
         "pos": jax.random.uniform(ks[6], (N_BUMPS, 2)),  # scaled by caller
         "sigma": jax.random.uniform(ks[7], (N_BUMPS,), minval=BUMP_SIGMA[0],
                                     maxval=BUMP_SIGMA[1]),
         "amp": jax.random.uniform(jax.random.fold_in(ks[7], 1),
-                                  (N_BUMPS, 2), minval=-BUMP_AMP,
-                                  maxval=BUMP_AMP),
+                                  (N_BUMPS, 2), minval=-amp, maxval=amp),
     }
+    if regime == "hard":
+        kf = jax.random.split(jax.random.fold_in(key, 7), 9)
+        lam_f = jnp.exp(jax.random.uniform(
+            kf[0], (N_WAVES,), minval=math.log(WAVELEN_RANGE[0]),
+            maxval=math.log(WAVELEN_RANGE[1])))
+        th_f = jax.random.uniform(kf[1], (N_WAVES,), maxval=2 * math.pi)
+        p.update({
+            "ffx": jnp.cos(th_f) / lam_f,
+            "ffy": jnp.sin(th_f) / lam_f,
+            "fphase": jax.random.uniform(kf[2], (N_WAVES,),
+                                         maxval=2 * math.pi),
+            "fw": sigma_w * jax.random.normal(kf[3], (N_WAVES, 3)),
+            "fg_pos": jax.random.uniform(kf[4], (2,)),  # scaled by caller
+            "fg_ax": jax.random.uniform(kf[5], (2,), minval=FG_AX[0],
+                                        maxval=FG_AX[1]),
+            "fg_angle": jax.random.uniform(kf[6], (), maxval=math.pi),
+            "fg_rot": jax.random.uniform(kf[7], (), minval=-FG_ROT,
+                                         maxval=FG_ROT),
+            "fg_shift": jax.random.uniform(kf[8], (2,), minval=-FG_SHIFT,
+                                           maxval=FG_SHIFT),
+        })
+    return p
 
 
 def _scale_pos(p: Dict, hw: Tuple[int, int], xp) -> Dict:
-    """Bump positions are sampled in [0,1]^2; scale to pixel coordinates."""
+    """Positions are sampled in [0,1]^2; scale to pixel coordinates."""
     q = dict(p)
-    q["pos"] = p["pos"] * xp.asarray([hw[1] - 1.0, hw[0] - 1.0],
-                                     dtype=p["pos"].dtype)
+    scale = xp.asarray([hw[1] - 1.0, hw[0] - 1.0], dtype=p["pos"].dtype)
+    q["pos"] = p["pos"] * scale
+    if "fg_pos" in p:
+        q["fg_pos"] = p["fg_pos"] * scale
     return q
 
 
@@ -150,10 +253,12 @@ class SyntheticFlow(FlowDataset):
 
     def __init__(self, root: str = "-", split: str = "train",
                  hw: Tuple[int, int] = (384, 448), length: int = 4000,
-                 val_length: int = 256, seed: int = 17):
+                 val_length: int = 256, seed: int = 17,
+                 regime: str = "smooth"):
         self.hw = tuple(hw)
         self.split = split
         self.seed = seed
+        self.regime = regime
         self._len = val_length if split == "val" else length
 
     def __len__(self) -> int:
@@ -167,23 +272,20 @@ class SyntheticFlow(FlowDataset):
             raise IndexError(idx)
         stream = 1 if self.split == "val" else 0
         rng = np.random.default_rng((self.seed, stream, idx))
-        p = _scale_pos(_host_params(rng), self.hw, np)
+        p = _scale_pos(_host_params(rng, self.regime), self.hw, np)
         s = _render(np, self.hw, p)
-        s = {k: np.asarray(v, np.float32) for k, v in s.items()}
-        s["valid"] = np.ones(self.hw, np.float32)
-        return s
+        return {k: np.asarray(v, np.float32) for k, v in s.items()}
 
 
-def device_sample(key: jax.Array, hw: Tuple[int, int]) -> Dict[str, jax.Array]:
+def device_sample(key: jax.Array, hw: Tuple[int, int],
+                  regime: str = "smooth") -> Dict[str, jax.Array]:
     """One synthetic sample generated on device (jit/vmap friendly)."""
-    p = _scale_pos(_device_params(key), hw, jnp)
-    s = _render(jnp, hw, p)
-    s["valid"] = jnp.ones(hw, jnp.float32)
-    return s
+    p = _scale_pos(_device_params(key, regime), hw, jnp)
+    return _render(jnp, hw, p)
 
 
 def make_device_batcher(global_batch: int, hw: Tuple[int, int],
-                        seed: int = 17, mesh=None):
+                        seed: int = 17, mesh=None, regime: str = "smooth"):
     """Jitted ``step -> batch`` generator, sharded over the mesh's data axis.
 
     Deterministic in (seed, step) — a resumed run regenerates the identical
@@ -198,7 +300,7 @@ def make_device_batcher(global_batch: int, hw: Tuple[int, int],
     # same key as a call argument compiles in seconds (bisected 2026-08-20).
     def gen(base, step):
         keys = jax.random.split(jax.random.fold_in(base, step), global_batch)
-        return jax.vmap(lambda k: device_sample(k, hw))(keys)
+        return jax.vmap(lambda k: device_sample(k, hw, regime))(keys)
 
     if mesh is not None:
         from pwcnet_tpu.parallel import batch_sharding

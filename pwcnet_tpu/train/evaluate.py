@@ -59,19 +59,25 @@ def evaluate_dataset(model: PWCNet, params, dataset: FlowDataset,
     tunnel); async accumulation lets batch k+1 upload while k computes.
     """
     step = make_eval_step(model, mesh=mesh)
-    s_tot = o_tot = c_tot = None
+    s_tot = o_tot = c_tot = b_tot = None
     from pwcnet_tpu.parallel import shard_batch
     for b in eval_batches(dataset, batch, pad_to=pad_to, limit=limit):
         if mesh is not None:
             b = shard_batch(mesh, b)
         else:
             b = jax.device_put(b)
-        s, o, c = step(params, b)
+        s, o, c, bins = step(params, b)
         if s_tot is None:
-            s_tot, o_tot, c_tot = s, o, c
+            s_tot, o_tot, c_tot, b_tot = s, o, c, bins
         else:  # device-side lazy accumulate — no host sync per batch
             s_tot, o_tot, c_tot = s_tot + s, o_tot + o, c_tot + c
-    num, out, den = (float(x) for x in jax.device_get((s_tot, o_tot, c_tot)))
-    den = max(den, 1.0)
-    return {"epe": num / den, "fl_all": 100.0 * out / den,
-            "num_valid_px": den}
+            b_tot = b_tot + bins
+    num, out, den, bt = jax.device_get((s_tot, o_tot, c_tot, b_tot))
+    num, out, den = float(num), float(out), max(float(den), 1.0)
+    res = {"epe": num / den, "fl_all": 100.0 * out / den,
+           "num_valid_px": den}
+    # EPE by GT displacement magnitude (Sintel s0-10/s10-40/s40+ style).
+    for name, (se, ce) in zip(("epe_s0_10", "epe_s10_40", "epe_s40plus"),
+                              np.asarray(bt).T):
+        res[name] = float(se) / max(float(ce), 1.0)
+    return res

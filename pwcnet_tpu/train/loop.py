@@ -85,8 +85,9 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
     use_devgen = cfg.data.device_gen and cfg.data.name == "synthetic"
     # The synthetic dataset takes its sample size from the config (file
     # datasets get theirs from the files + host collation).
-    ds_kw = ({"hw": cfg.data.sample_hw} if cfg.data.name == "synthetic"
-             else {})
+    ds_kw = ({"hw": cfg.data.sample_hw,
+              "regime": cfg.data.synthetic_regime}
+             if cfg.data.name == "synthetic" else {})
     train_ds = (None if use_devgen else
                 get_dataset(cfg.data.name, cfg.data.root, split="train",
                             **ds_kw))
@@ -134,7 +135,8 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
         from pwcnet_tpu.data.synthetic import make_device_batcher
         batcher = make_device_batcher(
             cfg.train.global_batch, cfg.data.augment.crop_hw,
-            seed=cfg.train.seed, mesh=mesh)
+            seed=cfg.train.seed, mesh=mesh,
+            regime=cfg.data.synthetic_regime)
         loader = None
     else:
         loader = Loader(
@@ -185,8 +187,10 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
                 ev = evaluate_dataset(model, state.params, val_ds,
                                       batch=cfg.data.eval_batch, mesh=mesh,
                                       limit=cfg.train.eval_limit)
-                writer.scalars(step, {"val_epe": ev["epe"],
-                                      "val_fl_all": ev["fl_all"]})
+                writer.scalars(step, {
+                    "val_epe": ev["epe"], "val_fl_all": ev["fl_all"],
+                    **{f"val_{k}": v for k, v in ev.items()
+                       if k.startswith("epe_s")}})
                 final_metrics["val_epe"] = ev["epe"]
                 final_metrics["val_fl_all"] = ev["fl_all"]
                 # Qualitative flow summaries (reference main.py:~160-185

@@ -111,12 +111,20 @@ def make_train_step(model, tx: optax.GradientTransformation,
     return jax.jit(sharded, donate_argnums=(0,))
 
 
+# GT-magnitude bin edges for the eval EPE breakdown (Sintel's s0-10 /
+# s10-40 / s40+ convention — the displacement regimes where PWC-style
+# models differ most; VERDICT r2 next #10).
+EPE_MAG_BINS = (10.0, 40.0)
+
+
 def make_eval_step(model: PWCNet, mesh=None) -> Callable:
     """Jitted eval: forward + full-res EPE / Fl-outlier sums on an (already
     padded) batch.
 
-    Returns (sum_epe, sum_outliers, num_valid) so callers average over a
-    dataset exactly; with a mesh the sums are psum-ed over the data axis.
+    Returns (sum_epe, sum_outliers, num_valid, bins) so callers average
+    over a dataset exactly; ``bins`` is a (2, 3) array of per-magnitude-
+    bin [epe-sum, valid-count] rows over GT magnitude in [0,10) / [10,40)
+    / [40,inf) px. With a mesh everything is psum-ed over the data axis.
     Outliers follow the KITTI Fl-all definition (devkit): EPE > 3 px AND
     EPE > 5% of the GT flow magnitude.
     """
@@ -130,18 +138,28 @@ def make_eval_step(model: PWCNet, mesh=None) -> Callable:
         outlier = fl_outliers(full, batch["flow"])
         v = batch["valid"]
         s, o, c = jnp.sum(dist * v), jnp.sum(outlier * v), jnp.sum(v)
+        mag = jnp.sqrt(jnp.sum(batch["flow"] ** 2, axis=-1) + 1e-16)
+        lo, hi = EPE_MAG_BINS
+        masks = ((mag < lo).astype(v.dtype) * v,
+                 ((mag >= lo) & (mag < hi)).astype(v.dtype) * v,
+                 (mag >= hi).astype(v.dtype) * v)
+        bins = jnp.stack([
+            jnp.stack([jnp.sum(dist * m) for m in masks]),
+            jnp.stack([jnp.sum(m) for m in masks]),
+        ])
         if mesh is not None:
             s = jax.lax.psum(s, DATA_AXIS)
             o = jax.lax.psum(o, DATA_AXIS)
             c = jax.lax.psum(c, DATA_AXIS)
-        return s, o, c
+            bins = jax.lax.psum(bins, DATA_AXIS)
+        return s, o, c, bins
 
     if mesh is None:
         return jax.jit(local_step)
     sharded = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=(P(), P(DATA_AXIS)),
-        out_specs=(P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
     return jax.jit(sharded)

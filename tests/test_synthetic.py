@@ -80,6 +80,92 @@ def test_device_sample_matches_family():
     assert float(jnp.where(mask, err, 0).sum() / mask.sum()) < 0.02
 
 
+def test_hard_regime_large_displacement_and_occlusion():
+    """The 'hard' regime (VERDICT r2 next #10) must actually produce
+    large displacements (>40 px somewhere) and a genuine occluding second
+    layer: a nonempty foreground region whose motion differs from the
+    background, and an invalid band at the motion boundary."""
+    ds = SyntheticFlow(hw=(128, 160), length=8, regime="hard")
+    saw_large = saw_band = saw_two_motions = False
+    for i in range(8):
+        s = ds[i]
+        mag = np.sqrt((s["flow"] ** 2).sum(-1))
+        saw_large |= bool((mag > 40.0).any())
+        saw_band |= bool((s["valid"] < 1.0).any())
+        v = s["valid"] > 0
+        if v.any():
+            # Two motion modes: the flow field has a large spread
+            # somewhere (fg vs bg differ by tens of px) in some scene.
+            spread = mag[v].max() - mag[v].min()
+            saw_two_motions |= bool(spread > 20.0)
+    assert saw_large and saw_band and saw_two_motions
+
+
+def test_hard_regime_warp_convention_on_valid_background():
+    """Exact-GT property must still hold where nothing occludes: on valid
+    pixels that are background in BOTH frames and whose target is not
+    covered by the foreground, warp(im2, flow) == im1 to interpolation
+    error. (Occluded pixels are supervised through occlusion, like
+    Sintel GT — they intentionally do NOT match.)"""
+    ds = SyntheticFlow(hw=(96, 128), length=4, regime="hard")
+    ok_any = False
+    for i in range(4):
+        s = ds[i]
+        warped = np.asarray(warp_bilinear(jnp.asarray(s["im2"][None]),
+                                          jnp.asarray(s["flow"][None]))[0])
+        err = np.abs(warped - s["im1"]).mean(-1)
+        cov = np.abs(warped).sum(-1) > 0
+        # Median over valid covered pixels: occluded pixels are a minority,
+        # so a correct convention gives a small median while a flipped
+        # convention decorrelates everywhere.
+        m = (s["valid"] > 0) & cov
+        if m.sum() > 1000:
+            # 25th percentile: occluded pixels can be a large fraction
+            # (seed 0 has a 49x82-px ellipse moving opposite to the
+            # background — >50% of valid pixels occluded, by design), but
+            # the never-occluded portion must match to interpolation
+            # error; a flipped convention decorrelates even the q25.
+            assert float(np.percentile(err[m], 25)) < 0.02
+            ok_any = True
+    assert ok_any
+
+
+def test_hard_regime_device_host_same_family():
+    s = jax.jit(lambda k: device_sample(k, (96, 128), "hard"))(
+        jax.random.key(1))
+    assert s["flow"].shape == (96, 128, 2)
+    assert bool(jnp.all(jnp.isfinite(s["flow"])))
+    assert s["valid"].shape == (96, 128)
+
+
+def test_eval_epe_magnitude_bins():
+    """make_eval_step's magnitude-bin sums: a constant-error prediction
+    lands its EPE in the right GT-magnitude bins."""
+    from pwcnet_tpu.train.step import make_eval_step
+
+    class Dummy:
+        flow_scale = 1.0
+
+        def apply(self, params, im1, im2, train=False):
+            return [jnp.zeros(im1.shape[:3] + (2,), jnp.float32)]
+
+        def full_res_flow(self, flows, hw):
+            return flows[-1]
+
+    gt = np.zeros((1, 8, 12, 2), np.float32)
+    gt[0, :, :4, 0] = 5.0    # bin 0: |gt| < 10
+    gt[0, :, 4:8, 0] = 20.0  # bin 1: 10 <= |gt| < 40
+    gt[0, :, 8:, 0] = 50.0   # bin 2: |gt| >= 40
+    batch = {"im1": jnp.zeros((1, 8, 12, 3)), "im2": jnp.zeros((1, 8, 12, 3)),
+             "flow": jnp.asarray(gt), "valid": jnp.ones((1, 8, 12))}
+    s, o, c, bins = make_eval_step(Dummy())(None, batch)
+    bins = np.asarray(bins)
+    np.testing.assert_allclose(bins[1], [32.0, 32.0, 32.0])  # counts
+    np.testing.assert_allclose(bins[0] / bins[1], [5.0, 20.0, 50.0],
+                               rtol=1e-5)
+    assert float(s) == pytest.approx(32 * (5 + 20 + 50), rel=1e-5)
+
+
 def test_device_batcher_deterministic_and_sharded():
     from pwcnet_tpu.parallel import MeshConfig, make_mesh
 
