@@ -99,8 +99,15 @@ def _stem_kernel(x0_ref, x1_ref, w1_ref, w2_ref, w3_ref, w4_ref,
                  b1_ref, b2_ref, b3_ref, b4_ref, out_ref,
                  xs, e1, f1, e2, f2, e3, f3, e4, *,
                  t: int, g1: int, c1: int, c2: int, wg: int,
-                 h1: int, h2: int):
-    """One tile: level-2 output rows [i*t, i*t + t)."""
+                 h1: int, h2: int, v1: int, v2: int):
+    """One tile: level-2 output rows [i*t, i*t + t).
+
+    ``v1``/``v2``: valid level-1/-2 feature COLUMN counts. When the input
+    was lane-fill right-padded (``_fold_pad``), features beyond the
+    original width must read as SAME-padding zeros at every level (a conv
+    over zero *input* is lrelu(bias) != 0) — the exact column analog of
+    the row masks.
+    """
     i = pl.program_id(1)
     g2 = g1 // 2
     cim = 6  # folded image lanes per pair (2 * 3)
@@ -114,6 +121,15 @@ def _stem_kernel(x0_ref, x1_ref, w1_ref, w2_ref, w3_ref, w4_ref,
         ridx = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0) + first_abs
         ok = (ridx >= 0) & (ridx < valid)
         return jnp.where(ok, x, jnp.zeros_like(x))
+
+    def colmask(x, g, c, valid):
+        """Zero feature columns >= valid (folded layout: column of lane
+        block j in group grp is grp*g + j)."""
+        if valid >= x.shape[1] * g:
+            return x
+        grp = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2) // c
+        return jnp.where(grp * g + lane < valid, x, jnp.zeros_like(x))
 
     xs[:4 * t] = x0_ref[0]
     xs[4 * t:] = x1_ref[0]
@@ -137,6 +153,7 @@ def _stem_kernel(x0_ref, x1_ref, w1_ref, w2_ref, w3_ref, w4_ref,
                             preferred_element_type=jnp.float32)
     res = lrelu(acc + b1_ref[...].astype(jnp.float32))
     res = rowmask(res.reshape(r1, wg, g1 * c1), 2 * i * t - 3, h1)
+    res = colmask(res, g1, c1, v1)
     f1[:, 0, :] = jnp.zeros_like(f1[:, 0, :])
     f1[:, wg + 1, :] = jnp.zeros_like(f1[:, wg + 1, :])
     f1[:, 1:wg + 1, :] = res.astype(f1.dtype)
@@ -154,6 +171,7 @@ def _stem_kernel(x0_ref, x1_ref, w1_ref, w2_ref, w3_ref, w4_ref,
                             preferred_element_type=jnp.float32)
     res = lrelu(acc + b2_ref[...].astype(jnp.float32))
     res = rowmask(res.reshape(r2, wg, g1 * c1), 2 * i * t - 2, h1)
+    res = colmask(res, g1, c1, v1)
     f2[:, 0, :] = jnp.zeros_like(f2[:, 0, :])
     f2[:, wg + 1, :] = jnp.zeros_like(f2[:, wg + 1, :])
     f2[:, 1:wg + 1, :] = res.astype(f2.dtype)
@@ -175,6 +193,7 @@ def _stem_kernel(x0_ref, x1_ref, w1_ref, w2_ref, w3_ref, w4_ref,
                             preferred_element_type=jnp.float32)
     res = lrelu(acc + b3_ref[...].astype(jnp.float32))
     res = rowmask(res.reshape(r3, wg, g2 * c2), i * t - 1, h2)
+    res = colmask(res, g2, c2, v2)
     f3[:, 0, :] = jnp.zeros_like(f3[:, 0, :])
     f3[:, wg + 1, :] = jnp.zeros_like(f3[:, wg + 1, :])
     f3[:, 1:wg + 1, :] = res.astype(f3.dtype)
@@ -214,13 +233,34 @@ def _pick_g1(w: int, c1: int) -> int:
     return g
 
 
+def _fold_pad(w: int, c1: int) -> Tuple[int, int]:
+    """(padded_width, g): pad W (right, zeros) when that admits a larger
+    fold than the exact width does — e.g. W=448 only folds to g=4 (64 of
+    128 lanes busy), while W padded to 512 folds to g=8 and fills the
+    MXU. Zero right-padding is EXACT for zero-padding SAME convs (the
+    pad columns see exactly what SAME padding provides) as long as the
+    output is cropped back; accept at most 25% width overhead.
+    """
+    g_exact = _pick_g1(w, c1)
+    best_w, best_g = w, g_exact
+    g = 2
+    while g <= 16 and c1 * g <= 128:
+        wpad = _cdiv(w, 16 * g) * (16 * g)
+        if g > best_g and wpad - w <= w // 4:
+            best_w, best_g = wpad, g
+        g *= 2
+    return best_w, best_g
+
+
 def _stem_impl(im: jax.Array, params: Params, interpret: bool) -> jax.Array:
-    n, h, w, cin = im.shape
+    n, h, w_orig, cin = im.shape
     (w1, b1), (w2, b2), (w3, b3), (w4, b4) = params
     c1, c2 = w1.shape[-1], w3.shape[-1]
-    assert cin == 3 and w % 2 == 0 and h % 4 == 0
+    assert cin == 3 and w_orig % 2 == 0 and h % 4 == 0
+    w, g1 = _fold_pad(w_orig, c1)
+    if w != w_orig:  # zero right-pad to fill lanes; output cropped below
+        im = jnp.pad(im, ((0, 0), (0, 0), (0, w - w_orig), (0, 0)))
     h1, h2 = h // 2, h // 4
-    g1 = _pick_g1(w, c1)
     assert g1 >= 2, "caller must route unfoldable widths to stem_ref"
     g2 = g1 // 2
     wg = (w // 2) // g1
@@ -266,7 +306,7 @@ def _stem_impl(im: jax.Array, params: Params, interpret: bool) -> jax.Array:
                                    memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_stem_kernel, t=t, g1=g1, c1=c1, c2=c2, wg=wg,
-                          h1=h1, h2=h2),
+                          h1=h1, h2=h2, v1=w_orig // 2, v2=w_orig // 4),
         out_shape=jax.ShapeDtypeStruct((n, n_tiles * t, wg, g2 * c2), dt),
         grid=(n, n_tiles),
         in_specs=[blk(0), blk(1), wspec(wm1), wspec(wm2), wspec(wm3),
@@ -290,7 +330,8 @@ def _stem_impl(im: jax.Array, params: Params, interpret: bool) -> jax.Array:
     )(xf, xf, wm1, wm2, wm3, wm4, bf(b1, g1), bf(b2, g1), bf(b3, g2),
       bf(b4, g2))
     # (N, n_tiles*t, wg, g2*c2) -> NHWC level-2 features
-    return out[:, :h2].reshape(n, h2, wg * g2, c2)
+    out = out[:, :h2].reshape(n, h2, wg * g2, c2)
+    return out[:, :, :w_orig // 4] if w != w_orig else out
 
 
 def stem_ref(im: jax.Array, params: Params) -> jax.Array:
@@ -360,7 +401,7 @@ def _stem_bwd_kernel(x0_ref, x1_ref, g_ref,
                      m1, m2, m3,
                      ge4, gf3, ge3a, gf2, ge2, gf1, ge1a, dxs, *,
                      t: int, g1: int, c1: int, c2: int, wg: int,
-                     h1: int, h2: int):
+                     h1: int, h2: int, v1: int, v2: int):
     """One tile: backward for level-2 gradient rows [i*t, i*t + t)."""
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -381,11 +422,16 @@ def _stem_bwd_kernel(x0_ref, x1_ref, g_ref,
     def lrelu(x):
         return jnp.where(x >= 0, x, 0.1 * x)
 
-    def mask_of(acc, rows, first_abs, valid):
-        """LeakyReLU' (1 / 0.1) x the forward's valid-row mask."""
+    def mask_of(acc, rows, first_abs, valid, g, c, vcols):
+        """LeakyReLU' (1 / 0.1) x the forward's valid-row mask x the
+        valid-column mask (lane-fill padding, see _fold_pad)."""
         m = jnp.where(acc >= 0, f32(1.0), f32(0.1)).reshape(rows, wg, -1)
         ridx = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0) + first_abs
         ok = (ridx >= 0) & (ridx < valid)
+        if vcols < wg * g:
+            grp = jax.lax.broadcasted_iota(jnp.int32, m.shape, 1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, m.shape, 2) // c
+            ok = ok & (grp * g + lane < vcols)
         return jnp.where(ok, m, jnp.zeros_like(m))
 
     # ==================== recompute (forward body) =====================
@@ -404,10 +450,11 @@ def _stem_bwd_kernel(x0_ref, x1_ref, g_ref,
         acc = acc + jnp.dot(sl.reshape(r1 * wg, k1), w1_ref[u],
                             preferred_element_type=f32)
     acc = acc + b1_ref[...].astype(f32)
-    m1[...] = mask_of(acc, r1, 2 * i * t - 3, h1).astype(m1.dtype)
+    m1[...] = mask_of(acc, r1, 2 * i * t - 3, h1, g1, c1, v1).astype(m1.dtype)
     ridx = jax.lax.broadcasted_iota(jnp.int32, (r1, 1, 1), 0) + 2 * i * t - 3
     ok = (ridx >= 0) & (ridx < h1)
     res = jnp.where(ok, lrelu(acc).reshape(r1, wg, cof1), 0.0)
+    res = res * jnp.where(m1[...] == 0, 0.0, 1.0).astype(f32)
     f1[:, 0, :] = jnp.zeros_like(f1[:, 0, :])
     f1[:, wg + 1, :] = jnp.zeros_like(f1[:, wg + 1, :])
     f1[:, 1:wg + 1, :] = res.astype(f1.dtype)
@@ -422,10 +469,11 @@ def _stem_bwd_kernel(x0_ref, x1_ref, g_ref,
         acc = acc + jnp.dot(e2[dy:dy + r2].reshape(r2 * wg, k2), w2_ref[dy],
                             preferred_element_type=f32)
     acc = acc + b2_ref[...].astype(f32)
-    m2[...] = mask_of(acc, r2, 2 * i * t - 2, h1).astype(m2.dtype)
+    m2[...] = mask_of(acc, r2, 2 * i * t - 2, h1, g1, c1, v1).astype(m2.dtype)
     ridx = jax.lax.broadcasted_iota(jnp.int32, (r2, 1, 1), 0) + 2 * i * t - 2
     ok = (ridx >= 0) & (ridx < h1)
     res = jnp.where(ok, lrelu(acc).reshape(r2, wg, cof1), 0.0)
+    res = res * jnp.where(m2[...] == 0, 0.0, 1.0).astype(f32)
     f2[:, 0, :] = jnp.zeros_like(f2[:, 0, :])
     f2[:, wg + 1, :] = jnp.zeros_like(f2[:, wg + 1, :])
     f2[:, 1:wg + 1, :] = res.astype(f2.dtype)
@@ -443,10 +491,11 @@ def _stem_bwd_kernel(x0_ref, x1_ref, g_ref,
         acc = acc + jnp.dot(sl.reshape(r3 * wg, k3), w3_ref[u],
                             preferred_element_type=f32)
     acc = acc + b3_ref[...].astype(f32)
-    m3[...] = mask_of(acc, r3, i * t - 1, h2).astype(m3.dtype)
+    m3[...] = mask_of(acc, r3, i * t - 1, h2, g2, c2, v2).astype(m3.dtype)
     ridx = jax.lax.broadcasted_iota(jnp.int32, (r3, 1, 1), 0) + i * t - 1
     ok = (ridx >= 0) & (ridx < h2)
     res = jnp.where(ok, lrelu(acc).reshape(r3, wg, cof2), 0.0)
+    res = res * jnp.where(m3[...] == 0, 0.0, 1.0).astype(f32)
     f3[:, 0, :] = jnp.zeros_like(f3[:, 0, :])
     f3[:, wg + 1, :] = jnp.zeros_like(f3[:, wg + 1, :])
     f3[:, 1:wg + 1, :] = res.astype(f3.dtype)
@@ -579,11 +628,19 @@ def _stem_backward_pallas(im: jax.Array, params: Params, grad: jax.Array,
                           interpret: bool):
     """Hand-written backward: returns (d_im, d_params) matching
     ``jax.vjp(stem_ref, im, params)`` numerics (bf16-grade)."""
-    n, h, w, cin = im.shape
+    n, h, w_orig, cin = im.shape
     (w1, b1), (w2, b2), (w3, b3), (w4, b4) = params
     c1, c2 = w1.shape[-1], w3.shape[-1]
+    w, g1 = _fold_pad(w_orig, c1)
+    if w != w_orig:
+        # Same lane-filling zero right-pad as the forward; pad-column
+        # grads are zero by construction (grad padded with zeros, E
+        # entries of zero inputs contribute nothing to dW/db) and d_im is
+        # cropped back below.
+        im = jnp.pad(im, ((0, 0), (0, 0), (0, w - w_orig), (0, 0)))
+        grad = jnp.pad(grad,
+                       ((0, 0), (0, 0), (0, (w - w_orig) // 4), (0, 0)))
     h1, h2 = h // 2, h // 4
-    g1 = _pick_g1(w, c1)
     g2 = g1 // 2
     wg = (w // 2) // g1
     cp1 = 2 * c1
@@ -670,7 +727,8 @@ def _stem_backward_pallas(im: jax.Array, params: Params, grad: jax.Array,
 
     outs = pl.pallas_call(
         functools.partial(_stem_bwd_kernel, t=t, g1=g1, c1=c1, c2=c2,
-                          wg=wg, h1=h1, h2=h2),
+                          wg=wg, h1=h1, h2=h2, v1=w_orig // 2,
+                          v2=w_orig // 4),
         out_shape=out_shapes,
         grid=(n, n_tiles),
         in_specs=[blk(0), blk(1),
@@ -719,7 +777,8 @@ def _stem_backward_pallas(im: jax.Array, params: Params, grad: jax.Array,
                 acc, (0, 4 * i * t, 0, 0), (n, 4 * t + 16, wg + 2, g1 * cim)
             ) + dim_t[:, i].astype(jnp.float32),
             (0, 4 * i * t, 0, 0))
-    d_im = acc[:, 6:6 + h, 1:wg + 1].reshape(n, h, w, cin).astype(dt)
+    d_im = acc[:, 6:6 + h, 1:wg + 1].reshape(n, h, w, cin)[
+        :, :, :w_orig].astype(dt)
 
     unt = lambda dbe, g, c: dbe.reshape(g, c).sum(0)
     grads = (
@@ -752,8 +811,8 @@ def _stem_fwd(im, params, interpret):
 def _stem_bwd(interpret, res, grad):
     im, params = res
     n, h, w, cin = im.shape
-    if (cin == 3 and h % 4 == 0 and (h // 4) >= 8
-            and _pick_g1(w, params[0][0].shape[-1]) >= 2):
+    if (cin == 3 and h % 4 == 0 and w % 4 == 0 and (h // 4) >= 8
+            and _fold_pad(w, params[0][0].shape[-1])[1] >= 2):
         out = _stem_backward_pallas(im, params, grad, interpret)
         if out is not None:
             return out
@@ -774,7 +833,8 @@ def stem_pallas(im: jax.Array, params: Params, *,
     multiple of 16 with a sublane-aligned group count) or H % 4 != 0.
     """
     n, h, w, cin = im.shape
-    if (cin != 3 or h % 4 or w % 2 or _pick_g1(w, params[0][0].shape[-1]) < 2
+    if (cin != 3 or h % 4 or w % 4
+            or _fold_pad(w, params[0][0].shape[-1])[1] < 2
             or (h // 4) < 8):
         return stem_ref(im, params)
     # f32 guard: XLA's memory-space assignment may stack-allocate the whole
