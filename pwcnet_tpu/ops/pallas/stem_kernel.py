@@ -258,6 +258,7 @@ def _stem_impl(im: jax.Array, params: Params, interpret: bool) -> jax.Array:
     c1, c2 = w1.shape[-1], w3.shape[-1]
     assert cin == 3 and w_orig % 2 == 0 and h % 4 == 0
     w, g1 = _fold_pad(w_orig, c1)
+    im_orig = im
     if w != w_orig:  # zero right-pad to fill lanes; output cropped below
         im = jnp.pad(im, ((0, 0), (0, 0), (0, w - w_orig), (0, 0)))
     h1, h2 = h // 2, h // 4
@@ -282,7 +283,9 @@ def _stem_impl(im: jax.Array, params: Params, interpret: bool) -> jax.Array:
 
     t = next((tt for tt in (16, 8) if vmem_bytes(tt) <= 12 * 2 ** 20), None)
     if t is None:
-        return stem_ref(im, params)
+        # Fall back with the ORIGINAL image: the lane-fill pad above must
+        # not leak into the XLA chain (wrong width + lrelu(bias) columns).
+        return stem_ref(im_orig, params)
     n_tiles = _cdiv(h2, t)
 
     # Image: NHWC -> (N, Hp, wg + 2, g1 * 6) by pure reshape + zero pads

@@ -29,17 +29,14 @@ import jax.numpy as jnp
 RESIZE_MODES = ("half_pixel", "align_corners")
 
 
-def _interp_matrix(n_in: int, n_out: int, align_corners: bool) -> jax.Array:
-    """(n_out, n_in) 1-D linear-interpolation weight matrix."""
-    if align_corners and n_out > 1:
+def _interp_matrix(n_in: int, n_out: int) -> jax.Array:
+    """(n_out, n_in) align-corners 1-D linear-interpolation weight matrix
+    (half_pixel resizes go through jax.image.resize instead)."""
+    if n_out > 1:
         src = jnp.arange(n_out, dtype=jnp.float32) * ((n_in - 1) /
                                                       (n_out - 1))
-    elif align_corners:
-        src = jnp.zeros((1,), jnp.float32)
     else:
-        src = jnp.clip(
-            (jnp.arange(n_out, dtype=jnp.float32) + 0.5) * (n_in / n_out)
-            - 0.5, 0, n_in - 1)
+        src = jnp.zeros((1,), jnp.float32)
     i0 = jnp.clip(jnp.floor(src), 0, n_in - 1).astype(jnp.int32)
     i1 = jnp.minimum(i0 + 1, n_in - 1)
     w1 = src - i0.astype(jnp.float32)
@@ -60,8 +57,8 @@ def resize_bilinear(x: jax.Array, hw: Tuple[int, int],
         return x
     if mode == "half_pixel":
         return jax.image.resize(x, (n, ho, wo, c), method="bilinear")
-    ay = _interp_matrix(h, ho, True)
-    ax = _interp_matrix(w, wo, True)
+    ay = _interp_matrix(h, ho)
+    ax = _interp_matrix(w, wo)
     y = jnp.einsum("ph,nhwc->npwc", ay, x.astype(jnp.float32))
     y = jnp.einsum("qw,npwc->npqc", ax, y)
     return y.astype(x.dtype)

@@ -177,6 +177,13 @@ def warp_corr_spatial(f1: jax.Array, f2: jax.Array,
         f2e = exchange_halo(f2_l, halo, axis)
         from pwcnet_tpu.ops.pallas.warp_corr_kernel import (
             fused_is_profitable)
+        # Profitability is judged on the SHARD-LOCAL shape (that is what
+        # the kernel runs on): at Sintel-res level 2 under 2-way spatial
+        # sharding (56x256 = 14336 px) the fused kernel ties the composed
+        # path (r3 roofline: level-3-sized crossover), so it activates
+        # only for larger inputs — e.g. 1024x2048 level 2 on 2 shards
+        # (65536 px/shard). Tests exercise the fused island by lowering
+        # FUSED_MIN_PIXELS.
         if (flow_l is not None and backend == "fused"
                 and fused_is_profitable(t, f1_l.shape[2])):
             # Fused blend+corr on the halo-extended rows: the corner

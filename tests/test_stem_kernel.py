@@ -16,7 +16,8 @@ def _params(rng, c1=16, c2=32, dtype=jnp.float32):
             (mk(3, 3, c1, c2), mk(c2)), (mk(3, 3, c2, c2), mk(c2)))
 
 
-@pytest.mark.parametrize("hw", [(64, 96), (32, 128), (64, 256), (36, 96)])
+@pytest.mark.parametrize("hw", [(64, 96), (32, 128), (64, 256), (36, 96),
+                                (40, 112)])  # 112 lane-fill-pads to 128/g=8
 def test_stem_matches_lax(hw):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((2, *hw, 3)), jnp.float32)
@@ -79,7 +80,8 @@ def test_stem_gradients_match_lax():
                                    rtol=2e-3, atol=2e-3)
 
 
-@pytest.mark.parametrize("hw", [(40, 64), (36, 96), (96, 256)])
+@pytest.mark.parametrize("hw", [(40, 64), (36, 96), (96, 256),
+                                (40, 112)])  # 112: padded-fold path (g=8)
 def test_stem_backward_kernel_matches_lax_vjp(hw):
     """The hand-written flash-style backward kernel (recompute in VMEM,
     in-kernel transposed convs + dW transpose-matmuls) matches XLA
@@ -126,6 +128,25 @@ def test_stem_backward_bf16_comparable_to_xla_bf16():
         err_k = np.abs(np.asarray(a, np.float64) - b32).max() / scale
         err_x = np.abs(np.asarray(b16, np.float64) - b32).max() / scale
         assert err_k < max(3 * err_x, 5e-3), (err_k, err_x)
+
+
+def test_stem_vmem_fallback_after_lane_fill_pad_uses_unpadded_image():
+    """A width that both lane-fill-pads (2496 -> 2560, g=8) AND overflows
+    the f32 VMEM estimate must fall back to the XLA chain on the ORIGINAL
+    image — the padded image would give the wrong output width and
+    lrelu(bias) edge columns (code-review r3 finding #1)."""
+    from pwcnet_tpu.ops.pallas import stem_kernel as sk
+
+    rng = np.random.default_rng(11)
+    w = 2496
+    assert sk._pick_g1(w, 16) == 4 and sk._fold_pad(w, 16) == (2560, 8)
+    x = jnp.asarray(rng.random((1, 32, w, 3)), jnp.float32)
+    p = _params(rng)
+    got = sk.stem_pallas(x, p, interpret=True)
+    want = sk.stem_ref(x, p)
+    assert got.shape == want.shape == (1, 8, w // 4, 32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
 
 
 def test_stem_grad_through_public_entry_uses_kernel_and_matches():
