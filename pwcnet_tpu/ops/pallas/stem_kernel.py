@@ -427,9 +427,12 @@ def _stem_bwd_kernel(x0_ref, x1_ref, g_ref,
 
     def mask_of(acc, rows, first_abs, valid, g, c, vcols):
         """LeakyReLU' (1 / 0.1) x the forward's valid-row mask x the
-        valid-column mask (lane-fill padding, see _fold_pad)."""
+        valid-column mask (lane-fill padding, see _fold_pad). All iotas
+        are FULL-shape: Mosaic rejects relayouts of partially-replicated
+        i1 vectors ("Invalid relayout ... replicated in destination"),
+        which broadcasting a (rows,1,1) boolean into an & would need."""
         m = jnp.where(acc >= 0, f32(1.0), f32(0.1)).reshape(rows, wg, -1)
-        ridx = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0) + first_abs
+        ridx = jax.lax.broadcasted_iota(jnp.int32, m.shape, 0) + first_abs
         ok = (ridx >= 0) & (ridx < valid)
         if vcols < wg * g:
             grp = jax.lax.broadcasted_iota(jnp.int32, m.shape, 1)
@@ -457,7 +460,7 @@ def _stem_bwd_kernel(x0_ref, x1_ref, g_ref,
     ridx = jax.lax.broadcasted_iota(jnp.int32, (r1, 1, 1), 0) + 2 * i * t - 3
     ok = (ridx >= 0) & (ridx < h1)
     res = jnp.where(ok, lrelu(acc).reshape(r1, wg, cof1), 0.0)
-    res = res * jnp.where(m1[...] == 0, 0.0, 1.0).astype(f32)
+    res = res * jnp.minimum(m1[...].astype(f32) * 10.0, 1.0)
     f1[:, 0, :] = jnp.zeros_like(f1[:, 0, :])
     f1[:, wg + 1, :] = jnp.zeros_like(f1[:, wg + 1, :])
     f1[:, 1:wg + 1, :] = res.astype(f1.dtype)
@@ -476,7 +479,7 @@ def _stem_bwd_kernel(x0_ref, x1_ref, g_ref,
     ridx = jax.lax.broadcasted_iota(jnp.int32, (r2, 1, 1), 0) + 2 * i * t - 2
     ok = (ridx >= 0) & (ridx < h1)
     res = jnp.where(ok, lrelu(acc).reshape(r2, wg, cof1), 0.0)
-    res = res * jnp.where(m2[...] == 0, 0.0, 1.0).astype(f32)
+    res = res * jnp.minimum(m2[...].astype(f32) * 10.0, 1.0)
     f2[:, 0, :] = jnp.zeros_like(f2[:, 0, :])
     f2[:, wg + 1, :] = jnp.zeros_like(f2[:, wg + 1, :])
     f2[:, 1:wg + 1, :] = res.astype(f2.dtype)
@@ -498,7 +501,7 @@ def _stem_bwd_kernel(x0_ref, x1_ref, g_ref,
     ridx = jax.lax.broadcasted_iota(jnp.int32, (r3, 1, 1), 0) + i * t - 1
     ok = (ridx >= 0) & (ridx < h2)
     res = jnp.where(ok, lrelu(acc).reshape(r3, wg, cof2), 0.0)
-    res = res * jnp.where(m3[...] == 0, 0.0, 1.0).astype(f32)
+    res = res * jnp.minimum(m3[...].astype(f32) * 10.0, 1.0)
     f3[:, 0, :] = jnp.zeros_like(f3[:, 0, :])
     f3[:, wg + 1, :] = jnp.zeros_like(f3[:, wg + 1, :])
     f3[:, 1:wg + 1, :] = res.astype(f3.dtype)
