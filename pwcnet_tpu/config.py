@@ -83,6 +83,10 @@ class TrainConfig:
     global_batch: int = 8
     schedule: ScheduleConfig = field(default_factory=lambda: S_LONG)
     weight_decay: float = 4e-4
+    # torch Adam's weight_decay is COUPLED L2 (decay into the gradient);
+    # default here is decoupled AdamW. Flip for exact reference-optimizer
+    # parity (PARITY.md row 16; pinned against torch in tests).
+    coupled_l2: bool = False
     grad_clip: float = 0.0
     loss: str = "multiscale"          # multiscale | robust
     seed: int = 0

@@ -78,7 +78,7 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
 
     model = build_model(cfg)
     tx = make_optimizer(cfg.train.schedule, cfg.train.weight_decay,
-                        cfg.train.grad_clip)
+                        cfg.train.grad_clip, cfg.train.coupled_l2)
     lr_sched = make_lr_schedule(cfg.train.schedule)
 
     # --- datasets ---

@@ -44,12 +44,24 @@ def make_lr_schedule(cfg: ScheduleConfig) -> optax.Schedule:
 
 
 def make_optimizer(cfg: ScheduleConfig, weight_decay: float = 4e-4,
-                   grad_clip: float = 0.0) -> optax.GradientTransformation:
-    """Adam(+decoupled weight decay) with the milestone schedule, matching
-    the reference's Adam(lr, weight_decay=4e-4) (``main.py:~100``)."""
+                   grad_clip: float = 0.0,
+                   coupled_l2: bool = False) -> optax.GradientTransformation:
+    """Adam + weight decay with the milestone schedule, matching the
+    reference's ``Adam(lr, weight_decay=4e-4)`` (``main.py:~100``).
+
+    ``coupled_l2=True`` reproduces torch Adam's *coupled* L2 exactly
+    (decay added to the gradient BEFORE the Adam moments — what the
+    reference actually ran; pinned against torch.optim.Adam in
+    tests/test_config.py). The default stays decoupled (AdamW), the
+    better-behaved modern choice — PARITY.md row 16, now a one-line flip.
+    """
     parts = []
     if grad_clip > 0:
         parts.append(optax.clip_by_global_norm(grad_clip))
-    parts.append(optax.adamw(learning_rate=make_lr_schedule(cfg),
-                             weight_decay=weight_decay))
+    if coupled_l2:
+        parts.append(optax.add_decayed_weights(weight_decay))
+        parts.append(optax.adam(learning_rate=make_lr_schedule(cfg)))
+    else:
+        parts.append(optax.adamw(learning_rate=make_lr_schedule(cfg),
+                                 weight_decay=weight_decay))
     return optax.chain(*parts)

@@ -44,3 +44,44 @@ def test_bad_override_rejected():
         apply_overrides(Config(), ["model.nope=1"])
     with pytest.raises(ValueError, match="key=value"):
         apply_overrides(Config(), ["model.num_levels"])
+
+
+def test_coupled_l2_matches_torch_adam_exactly():
+    """PARITY.md row 16: train.coupled_l2=true reproduces torch
+    Adam(weight_decay=...) — the optimizer the reference actually ran —
+    to float tolerance over several steps; the default (AdamW) diverges
+    from it (sanity that the flag changes semantics)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    from pwcnet_tpu.train.schedule import ScheduleConfig, make_optimizer
+
+    lr, wd, steps = 1e-2, 4e-2, 5
+    w0 = np.asarray([[0.5, -1.2], [2.0, 0.3]], np.float32)
+    grads = [np.asarray([[0.1 * (i + 1), -0.2], [0.05, 0.4 - 0.1 * i]],
+                        np.float32) for i in range(steps)]
+
+    # torch reference: coupled-L2 Adam.
+    tw = torch.nn.Parameter(torch.tensor(w0))
+    opt = torch.optim.Adam([tw], lr=lr, weight_decay=wd)
+    for g in grads:
+        tw.grad = torch.tensor(g)
+        opt.step()
+    want = tw.detach().numpy()
+
+    def run(coupled):
+        sched = ScheduleConfig(base_lr=lr, milestones=(10**6,),
+                               total_steps=10**6)
+        tx = make_optimizer(sched, weight_decay=wd, coupled_l2=coupled)
+        params = {"w": jnp.asarray(w0)}
+        state = tx.init(params)
+        for g in grads:
+            upd, state = tx.update({"w": jnp.asarray(g)}, state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, upd)
+        return np.asarray(params["w"])
+
+    got = run(coupled=True)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    assert not np.allclose(run(coupled=False), want, atol=1e-5)
