@@ -121,6 +121,18 @@ def main() -> int:
     }), flush=True)
     _HEADLINE_PRINTED = True
 
+    # --- context: batched serving throughput (amortized dispatch) ---
+    _PHASE = "serve-context"
+    try:
+        sb = 4
+        sb1 = jnp.asarray(rng.random((sb, h, w, 3)), jnp.float32)
+        sb2 = jnp.asarray(rng.random((sb, h, w, 3)), jnp.float32)
+        t_batch = _bench(infer, params, sb1, sb2, iters=50)
+        print(f"serving: {sb / t_batch:.2f} frames/sec at batch {sb} "
+              f"({t_batch * 1e3:.2f} ms/batch @ {h}x{w})", file=sys.stderr)
+    except Exception as e:
+        print(f"serve bench failed: {e!r}", file=sys.stderr)
+
     # --- context: training pairs/sec on the FlyingChairs crop ---
     _PHASE = "train-context"
     try:

@@ -99,6 +99,44 @@ def cmd_predict(args) -> int:
     return 0
 
 
+def cmd_match(args) -> int:
+    import jax
+
+    from pwcnet_tpu.data.base import read_image
+    from pwcnet_tpu.frontend import match_two_view
+    from pwcnet_tpu.train.checkpoint import CheckpointManager
+    from pwcnet_tpu.train.loop import build_model
+    from pwcnet_tpu.train.schedule import make_optimizer
+    from pwcnet_tpu.train.state import TrainState
+
+    cfg = _load_cfg(args)
+    model = build_model(cfg)
+    im1, im2 = read_image(args.im1), read_image(args.im2)
+    dummy = np.zeros((1, 64, 64, 3), np.float32)
+    params = jax.jit(model.init)(jax.random.key(0), dummy, dummy)
+    if args.ckpt:
+        tx = make_optimizer(cfg.train.schedule)
+        template = TrainState.create(params, tx, jax.random.key(0))
+        ckpt = CheckpointManager(args.ckpt)
+        params = ckpt.restore(jax.device_get(template)).params
+        ckpt.close()
+    out = match_two_view(model, params, im1, im2,
+                         grid_step=args.grid_step,
+                         fb_threshold=args.fb_threshold)
+    matches = np.concatenate(
+        [out["pts1"], out["pts2"], out["confidence"][:, None]], axis=1)
+    if args.out:
+        np.savetxt(args.out, matches, fmt="%.3f",
+                   header="x1 y1 x2 y2 confidence")
+    print(json.dumps({
+        "num_matches": int(len(matches)),
+        "mean_confidence": float(out["confidence"].mean())
+        if len(matches) else None,
+        "median_fb_error_px": float(np.median(out["fb_error"])),
+    }))
+    return 0
+
+
 def cmd_parity(args) -> int:
     from pwcnet_tpu.train.parity import parity_report
 
@@ -187,6 +225,20 @@ def main(argv=None) -> int:
     p.add_argument("--out", default=None, help=".flo/.png output path")
     p.add_argument("--vis", default=None, help="color visualization path")
     p.set_defaults(fn=cmd_predict)
+
+    p = sub.add_parser(
+        "match",
+        help="SLAM-style sparse two-view matches (forward-backward-"
+             "checked flow correspondences)")
+    common(p)
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--im1", required=True)
+    p.add_argument("--im2", required=True)
+    p.add_argument("--out", default=None,
+                   help="matches text file: x1 y1 x2 y2 confidence")
+    p.add_argument("--grid-step", type=int, default=8)
+    p.add_argument("--fb-threshold", type=float, default=1.5)
+    p.set_defaults(fn=cmd_match)
 
     p = sub.add_parser(
         "parity",

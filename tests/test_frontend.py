@@ -90,3 +90,28 @@ def test_end_to_end_with_real_model_api():
     assert out["fb_error"].shape == (40, 56)
     assert out["pts1"].shape == out["pts2"].shape
     assert out["confidence"].ndim == 1
+
+
+def test_match_cli(tmp_path, capsys):
+    import imageio.v2 as imageio
+    import json as _json
+
+    from pwcnet_tpu.cli import main
+
+    rng = np.random.default_rng(0)
+    im1 = (rng.random((40, 56, 3)) * 255).astype(np.uint8)
+    im2 = np.roll(im1, 2, axis=1)
+    p1, p2 = str(tmp_path / "a.png"), str(tmp_path / "b.png")
+    imageio.imwrite(p1, im1)
+    imageio.imwrite(p2, im2)
+    out = str(tmp_path / "m.txt")
+    rc = main(["match", "--im1", p1, "--im2", p2, "--out", out,
+               "--fb-threshold", "1e9",
+               "model.num_levels=3", "model.output_level=2",
+               "model.search_range=2", "model.corr_backend=lax",
+               "model.dtype=float32"])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out)
+    assert rep["num_matches"] > 0
+    rows = np.loadtxt(out)
+    assert rows.shape[1] == 5
