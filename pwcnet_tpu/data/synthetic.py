@@ -118,8 +118,11 @@ def _render(xp, hw: Tuple[int, int], p: Dict) -> Dict:
         ex = (ca * dx0 + sa * dy0) / p["fg_ax"][0]
         ey = (-sa * dx0 + ca * dy0) / p["fg_ax"][1]
         r = xp.sqrt(ex * ex + ey * ey + 1e-12)
-        # signed distance to the ellipse boundary, approx. in px.
-        dist = (r - 1.0) * xp.minimum(p["fg_ax"][0], p["fg_ax"][1])
+        # signed distance to the ellipse boundary, approx. in px; clipped
+        # before exp (far pixels otherwise overflow f32 exp -> benign inf
+        # but a noisy RuntimeWarning on the host path).
+        dist = xp.clip((r - 1.0) * xp.minimum(p["fg_ax"][0], p["fg_ax"][1]),
+                       -30.0 * FG_EDGE, 30.0 * FG_EDGE)
         return 1.0 / (1.0 + xp.exp(dist / FG_EDGE))
 
     crot, srot = xp.cos(p["fg_rot"]), xp.sin(p["fg_rot"])
