@@ -42,7 +42,7 @@ def cmd_eval(args) -> int:
     from pwcnet_tpu.train.checkpoint import CheckpointManager
     from pwcnet_tpu.train.evaluate import evaluate_dataset
     from pwcnet_tpu.train.loop import build_model
-    from pwcnet_tpu.train.schedule import make_optimizer
+    from pwcnet_tpu.train.schedule import optimizer_from_config
     from pwcnet_tpu.train.state import TrainState
 
     cfg = _load_cfg(args)
@@ -54,7 +54,7 @@ def cmd_eval(args) -> int:
     dummy = np.zeros((1, 64, 64, 3), np.float32)
     params = jax.jit(model.init)(jax.random.key(0), dummy, dummy)
     if args.ckpt:
-        tx = make_optimizer(cfg.train.schedule)
+        tx = optimizer_from_config(cfg.train)
         template = TrainState.create(params, tx, jax.random.key(0))
         ckpt = CheckpointManager(args.ckpt)
         params = ckpt.restore(jax.device_get(template)).params
@@ -73,7 +73,7 @@ def cmd_predict(args) -> int:
     from pwcnet_tpu.train.checkpoint import CheckpointManager
     from pwcnet_tpu.train.evaluate import predict_flow
     from pwcnet_tpu.train.loop import build_model
-    from pwcnet_tpu.train.schedule import make_optimizer
+    from pwcnet_tpu.train.schedule import optimizer_from_config
     from pwcnet_tpu.train.state import TrainState
 
     cfg = _load_cfg(args)
@@ -82,7 +82,7 @@ def cmd_predict(args) -> int:
     dummy = np.zeros((1, 64, 64, 3), np.float32)
     params = jax.jit(model.init)(jax.random.key(0), dummy, dummy)
     if args.ckpt:
-        tx = make_optimizer(cfg.train.schedule)
+        tx = optimizer_from_config(cfg.train)
         template = TrainState.create(params, tx, jax.random.key(0))
         ckpt = CheckpointManager(args.ckpt)
         params = ckpt.restore(jax.device_get(template)).params
@@ -106,7 +106,7 @@ def cmd_match(args) -> int:
     from pwcnet_tpu.frontend import match_two_view
     from pwcnet_tpu.train.checkpoint import CheckpointManager
     from pwcnet_tpu.train.loop import build_model
-    from pwcnet_tpu.train.schedule import make_optimizer
+    from pwcnet_tpu.train.schedule import optimizer_from_config
     from pwcnet_tpu.train.state import TrainState
 
     cfg = _load_cfg(args)
@@ -115,7 +115,7 @@ def cmd_match(args) -> int:
     dummy = np.zeros((1, 64, 64, 3), np.float32)
     params = jax.jit(model.init)(jax.random.key(0), dummy, dummy)
     if args.ckpt:
-        tx = make_optimizer(cfg.train.schedule)
+        tx = optimizer_from_config(cfg.train)
         template = TrainState.create(params, tx, jax.random.key(0))
         ckpt = CheckpointManager(args.ckpt)
         params = ckpt.restore(jax.device_get(template)).params

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np
@@ -69,6 +70,8 @@ class Loader:
         self.step = start_step
         self._steps_per_epoch = max(len(dataset) // global_batch, 1)
         self._num_threads = num_threads
+        self._pool = ThreadPoolExecutor(
+            max_workers=num_threads, thread_name_prefix="pwcnet-loader")
         self._q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._producer, daemon=True)
@@ -110,18 +113,9 @@ class Loader:
         nb = self._native_batch(idxs)
         if nb is not None:
             return nb
-        samples = [None] * len(idxs)
-
-        def work(j, i):
-            samples[j] = _fit_to_shape(self.dataset[int(i)], self.sample_hw)
-
-        threads = []
-        for j, i in enumerate(idxs):
-            t = threading.Thread(target=work, args=(j, i))
-            t.start()
-            threads.append(t)
-        for t in threads:
-            t.join()
+        samples = list(self._pool.map(
+            lambda i: _fit_to_shape(self.dataset[int(i)], self.sample_hw),
+            idxs))
         return {k: np.stack([s[k] for s in samples]).astype(np.float32)
                 for k in ("im1", "im2", "flow", "valid")}
 
@@ -153,6 +147,7 @@ class Loader:
         except queue.Empty:
             pass
         self._thread.join(timeout=5)
+        self._pool.shutdown(wait=False)
 
 
 def eval_batches(dataset: FlowDataset, batch: int,

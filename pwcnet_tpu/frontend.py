@@ -36,8 +36,9 @@ def _both_flows(model, params, im1: np.ndarray, im2: np.ndarray,
 
     h, w = im1.shape[:2]
     pair = np.stack([im1, im2]), np.stack([im2, im1])
-    a, _ = pad_to_divisible(pair[0])
-    b, _ = pad_to_divisible(pair[1])
+    div = getattr(model, "pad_divisor", 64)
+    a, _ = pad_to_divisible(pair[0], div)
+    b, _ = pad_to_divisible(pair[1], div)
 
     @jax.jit
     def fwd(params, a, b):

@@ -281,6 +281,11 @@ class PWCNet(nn.Module):
             flows.append(flow)
         return flows
 
+    @property
+    def pad_divisor(self) -> int:
+        """Inputs' H and W must be divisible by this (frontend padding)."""
+        return 2 ** self.num_levels
+
     def full_res_flow(self, flows: List[jax.Array],
                       hw: Tuple[int, int]) -> jax.Array:
         """Finest prediction -> full-resolution pixel flow (inference path,

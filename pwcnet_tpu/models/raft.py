@@ -233,6 +233,11 @@ class RAFT(nn.Module):
         # (iters, N, H, W, 2) full-res pixel flows -> list, iteration order.
         return [flows[i] for i in range(self.num_iters)]
 
+    @property
+    def pad_divisor(self) -> int:
+        """Inputs' H and W must be divisible by this (frontend padding)."""
+        return 8
+
     def full_res_flow(self, flows: List[jax.Array],
                       hw: Tuple[int, int]) -> jax.Array:
         """Final iteration -> full-resolution pixel flow. Flows leave

@@ -5,6 +5,7 @@ rebuilt around jit/sharding/Orbax).
 
 from __future__ import annotations
 
+import logging
 import time
 from typing import Optional
 
@@ -26,10 +27,12 @@ from pwcnet_tpu.parallel import (
 from pwcnet_tpu.train.checkpoint import CheckpointManager
 from pwcnet_tpu.train.evaluate import evaluate_dataset
 from pwcnet_tpu.train.metrics import MetricsWriter
-from pwcnet_tpu.train.schedule import make_lr_schedule, make_optimizer
+from pwcnet_tpu.train.schedule import make_lr_schedule, optimizer_from_config
 from pwcnet_tpu.train.state import TrainState
 from pwcnet_tpu.train.step import make_train_step
 from pwcnet_tpu.io import flow_to_rgb
+
+_log = logging.getLogger(__name__)
 
 
 def build_model(cfg: Config):
@@ -71,14 +74,14 @@ def apply_debug_config(cfg: Config) -> None:
 def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
     """Run training per config; returns final metrics dict."""
     apply_debug_config(cfg)
+    _summary_error_logged = [False]
     p = cfg.parallel
     initialize_distributed(p.coordinator, p.num_processes, p.process_id)
     mesh = make_mesh(MeshConfig(data=p.data, spatial=p.spatial,
                                 model=p.model))
 
     model = build_model(cfg)
-    tx = make_optimizer(cfg.train.schedule, cfg.train.weight_decay,
-                        cfg.train.grad_clip, cfg.train.coupled_l2)
+    tx = optimizer_from_config(cfg.train)
     lr_sched = make_lr_schedule(cfg.train.schedule)
 
     # --- datasets ---
@@ -209,7 +212,13 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
                         writer.image(step, "val/im1",
                                      (s0["im1"] * 255).astype(np.uint8))
                     except Exception:
-                        pass  # summaries must never kill training
+                        # Summaries must never kill training, but a silent
+                        # pass hides real vis/IO bugs — log the first one.
+                        if not _summary_error_logged[0]:
+                            _summary_error_logged[0] = True
+                            _log.exception(
+                                "eval image summary failed (logged once; "
+                                "further failures are suppressed)")
 
             if step % cfg.train.checkpoint_interval == 0 or step == total:
                 ckpt.save(jax.device_get(state))

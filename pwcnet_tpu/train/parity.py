@@ -59,9 +59,9 @@ def parity_report(cfg, im1_path: str, im2_path: str,
         params = jax.jit(model.init)(jax.random.key(0), a, b)
         if ckpt:
             from pwcnet_tpu.train.checkpoint import CheckpointManager
-            from pwcnet_tpu.train.schedule import make_optimizer
+            from pwcnet_tpu.train.schedule import optimizer_from_config
             from pwcnet_tpu.train.state import TrainState
-            tx = make_optimizer(cfg.train.schedule)
+            tx = optimizer_from_config(cfg.train)
             template = TrainState.create(params, tx, jax.random.key(0))
             mgr = CheckpointManager(ckpt)
             params = mgr.restore(jax.device_get(template)).params

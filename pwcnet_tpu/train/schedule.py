@@ -65,3 +65,16 @@ def make_optimizer(cfg: ScheduleConfig, weight_decay: float = 4e-4,
         parts.append(optax.adamw(learning_rate=make_lr_schedule(cfg),
                                  weight_decay=weight_decay))
     return optax.chain(*parts)
+
+
+def optimizer_from_config(train_cfg) -> optax.GradientTransformation:
+    """Build the optimizer from a full ``TrainConfig``.
+
+    The optax chain's *structure* depends on grad_clip/coupled_l2, so a
+    checkpoint-restore template MUST be built with the same flags the run
+    was trained with — every restore site goes through this helper so the
+    pytree structure always matches (a grad_clip=1.0 checkpoint has an
+    extra clip state entry that a bare ``make_optimizer(schedule)``
+    template would lack)."""
+    return make_optimizer(train_cfg.schedule, train_cfg.weight_decay,
+                          train_cfg.grad_clip, train_cfg.coupled_l2)

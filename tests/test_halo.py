@@ -138,11 +138,11 @@ def test_warp_corr_spatial_gradients(smesh, rng):
 @pytest.mark.parametrize("backend", ["pallas", "fused"])
 def test_spatial_forward_kernel_backends_match_unsharded(backend,
                                                          monkeypatch):
-    from pwcnet_tpu.ops.pallas import warp_corr_kernel as wck
-    monkeypatch.setattr(wck, "FUSED_MIN_PIXELS", 0)
     """VERDICT r1 #5 / r2 weak #3 'Done' criteria: halo-sharded full
     forward equals the unsharded forward with the Pallas correlation AND
     the fused warp+corr backend (previously 'fused' x spatial crashed)."""
+    from pwcnet_tpu.ops.pallas import warp_corr_kernel as wck
+    monkeypatch.setattr(wck, "FUSED_MIN_PIXELS", 0)
     from pwcnet_tpu.parallel.spatial import spatial_forward
 
     model = PWCNet(num_levels=3, output_level=2, search_range=2,
