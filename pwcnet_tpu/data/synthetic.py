@@ -57,6 +57,61 @@ FG_AX = (20.0, 90.0)        # foreground ellipse semi-axes, px
 FG_EDGE = 1.0               # sigmoid edge softness, px
 FG_BAND = (0.02, 0.98)      # mask band marked invalid (ambiguous GT)
 
+# Natural-statistics textures for the hard regime (VERDICT r3 missing #2:
+# the band-limited sinusoid sums were "easy for matching; no natural-image
+# -like statistics"). Each hard-regime texture is a composite of several
+# broadband sub-textures separated by SHARP straight boundaries:
+#   - wavelengths log-uniform over (2.5, 256) px with equal per-wave
+#     amplitude == equal energy per octave == ~1/f^2 power spectrum, the
+#     classic natural-image statistic (Field 1987);
+#   - sigmoid line boundaries of ~0.7 px softness produce step edges
+#     (broadband phase-aligned spectra + heavy-tailed gradient
+#     distributions — the second natural-image statistic a sum of smooth
+#     sinusoids cannot express).
+# Everything stays analytic, so im1(x) = im2(x + u(x)) remains EXACT.
+HARD_WAVELEN_RANGE = (2.5, 256.0)   # px, log-uniform (broadband)
+HARD_N_TEX = 3              # background sub-textures (2 sharp boundaries)
+HARD_FG_N_TEX = 2           # foreground sub-textures (1 sharp boundary)
+BND_EDGE = 0.7              # texture-boundary sigmoid softness, px
+TEX_MEAN_JITTER = 0.18      # per-sub-texture mean luminance offset, +/-
+
+
+def _tex_value(xp, p: Dict, prefix: str, x, y):
+    """Evaluate the (possibly composite) texture ``prefix`` at real coords.
+
+    1-D wave params (K,) — the smooth regime's single sinusoid sum, kept
+    bit-identical to rounds 1-3. Stacked params (S, K) — the hard regime's
+    natural-statistics composite: S broadband sub-textures mixed across
+    S-1 sharp sigmoid line boundaries (boundaries are scene-attached: both
+    frames evaluate the same T at flow-displaced coordinates, so edges
+    move exactly with the ground-truth flow).
+    """
+    fx, fy = p[prefix + "fx"], p[prefix + "fy"]
+    ph0, w = p[prefix + "phase"], p[prefix + "w"]
+
+    def one(fx, fy, ph0, w, mean=0.5):
+        ph = (2.0 * math.pi) * (fx[:, None, None] * x[None]
+                                + fy[:, None, None] * y[None])
+        waves = xp.cos(ph + ph0[:, None, None])
+        return mean + xp.tensordot(waves, w, axes=(0, 0))
+
+    if fx.ndim == 1:
+        return xp.clip(one(fx, fy, ph0, w), 0.0, 1.0)
+    # Per-sub-texture mean offsets give the boundaries real luminance
+    # steps (object-like edges), not just texture changes.
+    mean = 0.5 + p[prefix + "mean"]
+    img = one(fx[0], fy[0], ph0[0], w[0], mean[0])
+    for i in range(fx.shape[0] - 1):
+        th = p[prefix + "bnd_theta"][i]
+        ca, sa = xp.cos(th), xp.sin(th)
+        d = (ca * (x - p[prefix + "bnd_pos"][i, 0])
+             + sa * (y - p[prefix + "bnd_pos"][i, 1]))
+        d = xp.clip(d, -30.0 * BND_EDGE, 30.0 * BND_EDGE)
+        m = 1.0 / (1.0 + xp.exp(-d / BND_EDGE))
+        img = img + m[..., None] * (one(fx[i + 1], fy[i + 1], ph0[i + 1],
+                                        w[i + 1], mean[i + 1]) - img)
+    return xp.clip(img, 0.0, 1.0)
+
 
 def _render(xp, hw: Tuple[int, int], p: Dict) -> Dict:
     """Evaluate texture + flow on the pixel grid; array-module generic.
@@ -74,12 +129,7 @@ def _render(xp, hw: Tuple[int, int], p: Dict) -> Dict:
                              np.arange(w, dtype=np.float32), indexing="ij")
 
     def texture(x, y):
-        # (K, H, W) phases -> (H, W, 3) image.
-        ph = (2.0 * math.pi) * (p["fx"][:, None, None] * x[None]
-                                + p["fy"][:, None, None] * y[None])
-        waves = xp.cos(ph + p["phase"][:, None, None])
-        img = 0.5 + xp.tensordot(waves, p["w"], axes=(0, 0))
-        return xp.clip(img, 0.0, 1.0)
+        return _tex_value(xp, p, "", x, y)
 
     # Flow field: affine about the image center + Gaussian bumps.
     cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
@@ -106,11 +156,7 @@ def _render(xp, hw: Tuple[int, int], p: Dict) -> Dict:
     #   u_f(x) = (R - I)(x - c) + t;  im1_f(x) = T_f(x + u_f(x));
     #   mask1(x) = M(x + u_f(x)).
     def fg_texture(x, y):
-        ph = (2.0 * math.pi) * (p["ffx"][:, None, None] * x[None]
-                                + p["ffy"][:, None, None] * y[None])
-        waves = xp.cos(ph + p["fphase"][:, None, None])
-        img = 0.5 + xp.tensordot(waves, p["fw"], axes=(0, 0))
-        return xp.clip(img, 0.0, 1.0)
+        return _tex_value(xp, p, "f", x, y)
 
     def fg_mask(x, y):
         dx0, dy0 = x - p["fg_pos"][0], y - p["fg_pos"][1]
@@ -166,15 +212,31 @@ def _host_params(rng: np.random.Generator,
         "amp": rng.uniform(-amp, amp, (N_BUMPS, 2)).astype(np.float32),
     }
     if regime == "hard":
-        lam_f = np.exp(rng.uniform(np.log(WAVELEN_RANGE[0]),
-                                   np.log(WAVELEN_RANGE[1]), N_WAVES))
-        th_f = rng.uniform(0, 2 * math.pi, N_WAVES)
+        def waves(n_tex):
+            lam = np.exp(rng.uniform(np.log(HARD_WAVELEN_RANGE[0]),
+                                     np.log(HARD_WAVELEN_RANGE[1]),
+                                     (n_tex, N_WAVES)))
+            th = rng.uniform(0, 2 * math.pi, (n_tex, N_WAVES))
+            return {
+                "fx": (np.cos(th) / lam).astype(np.float32),
+                "fy": (np.sin(th) / lam).astype(np.float32),
+                "phase": rng.uniform(0, 2 * math.pi,
+                                     (n_tex, N_WAVES)).astype(np.float32),
+                "w": rng.normal(0, sigma_w,
+                                (n_tex, N_WAVES, 3)).astype(np.float32),
+                "bnd_pos": rng.uniform(0, 1, (n_tex - 1, 2)).astype(
+                    np.float32),  # scaled to px by _scale_pos
+                "bnd_theta": rng.uniform(0, 2 * math.pi, n_tex - 1).astype(
+                    np.float32),
+                "mean": rng.uniform(-TEX_MEAN_JITTER, TEX_MEAN_JITTER,
+                                    (n_tex, 3)).astype(np.float32),
+            }
+
+        # Natural-statistics composite textures replace the smooth-band
+        # bg waves drawn above (hard stream only; smooth is untouched).
+        p.update(waves(HARD_N_TEX))
+        p.update({"f" + k: v for k, v in waves(HARD_FG_N_TEX).items()})
         p.update({
-            "ffx": (np.cos(th_f) / lam_f).astype(np.float32),
-            "ffy": (np.sin(th_f) / lam_f).astype(np.float32),
-            "fphase": rng.uniform(0, 2 * math.pi, N_WAVES).astype(
-                np.float32),
-            "fw": rng.normal(0, sigma_w, (N_WAVES, 3)).astype(np.float32),
             "fg_pos": rng.uniform(0, 1, 2).astype(np.float32),  # scaled
             "fg_ax": rng.uniform(*FG_AX, 2).astype(np.float32),
             "fg_angle": np.float32(rng.uniform(0, math.pi)),
@@ -211,24 +273,40 @@ def _device_params(key: jax.Array,
                                   (N_BUMPS, 2), minval=-amp, maxval=amp),
     }
     if regime == "hard":
-        kf = jax.random.split(jax.random.fold_in(key, 7), 9)
-        lam_f = jnp.exp(jax.random.uniform(
-            kf[0], (N_WAVES,), minval=math.log(WAVELEN_RANGE[0]),
-            maxval=math.log(WAVELEN_RANGE[1])))
-        th_f = jax.random.uniform(kf[1], (N_WAVES,), maxval=2 * math.pi)
+        kf = jax.random.split(jax.random.fold_in(key, 7), 7)
+
+        def waves(key, n_tex):
+            kw = jax.random.split(key, 7)
+            lam = jnp.exp(jax.random.uniform(
+                kw[0], (n_tex, N_WAVES),
+                minval=math.log(HARD_WAVELEN_RANGE[0]),
+                maxval=math.log(HARD_WAVELEN_RANGE[1])))
+            th = jax.random.uniform(kw[1], (n_tex, N_WAVES),
+                                    maxval=2 * math.pi)
+            return {
+                "fx": jnp.cos(th) / lam,
+                "fy": jnp.sin(th) / lam,
+                "phase": jax.random.uniform(kw[2], (n_tex, N_WAVES),
+                                            maxval=2 * math.pi),
+                "w": sigma_w * jax.random.normal(kw[3], (n_tex, N_WAVES, 3)),
+                "bnd_pos": jax.random.uniform(kw[4], (n_tex - 1, 2)),
+                "bnd_theta": jax.random.uniform(kw[5], (n_tex - 1,),
+                                                maxval=2 * math.pi),
+                "mean": jax.random.uniform(kw[6], (n_tex, 3),
+                                           minval=-TEX_MEAN_JITTER,
+                                           maxval=TEX_MEAN_JITTER),
+            }
+
+        p.update(waves(kf[0], HARD_N_TEX))
+        p.update({"f" + k: v for k, v in waves(kf[1], HARD_FG_N_TEX).items()})
         p.update({
-            "ffx": jnp.cos(th_f) / lam_f,
-            "ffy": jnp.sin(th_f) / lam_f,
-            "fphase": jax.random.uniform(kf[2], (N_WAVES,),
-                                         maxval=2 * math.pi),
-            "fw": sigma_w * jax.random.normal(kf[3], (N_WAVES, 3)),
-            "fg_pos": jax.random.uniform(kf[4], (2,)),  # scaled by caller
-            "fg_ax": jax.random.uniform(kf[5], (2,), minval=FG_AX[0],
+            "fg_pos": jax.random.uniform(kf[2], (2,)),  # scaled by caller
+            "fg_ax": jax.random.uniform(kf[3], (2,), minval=FG_AX[0],
                                         maxval=FG_AX[1]),
-            "fg_angle": jax.random.uniform(kf[6], (), maxval=math.pi),
-            "fg_rot": jax.random.uniform(kf[7], (), minval=-FG_ROT,
+            "fg_angle": jax.random.uniform(kf[4], (), maxval=math.pi),
+            "fg_rot": jax.random.uniform(kf[5], (), minval=-FG_ROT,
                                          maxval=FG_ROT),
-            "fg_shift": jax.random.uniform(kf[8], (2,), minval=-FG_SHIFT,
+            "fg_shift": jax.random.uniform(kf[6], (2,), minval=-FG_SHIFT,
                                            maxval=FG_SHIFT),
         })
     return p
@@ -241,6 +319,9 @@ def _scale_pos(p: Dict, hw: Tuple[int, int], xp) -> Dict:
     q["pos"] = p["pos"] * scale
     if "fg_pos" in p:
         q["fg_pos"] = p["fg_pos"] * scale
+    for k in ("bnd_pos", "fbnd_pos"):
+        if k in p:
+            q[k] = p[k] * scale
     return q
 
 
