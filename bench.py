@@ -168,6 +168,56 @@ def main() -> int:
               file=sys.stderr)
     except Exception as e:  # context metrics must not kill the headline
         print(f"train bench failed: {e!r}", file=sys.stderr)
+
+    # --- context: RAFT family (BASELINE configs[4]; VERDICT r3 missing
+    # #5). Runs last: a cold-cache compile overrun only costs these
+    # context lines, never the headline. ---
+    _PHASE = "raft-context"
+    try:
+        from pwcnet_tpu.models.raft import RAFT
+
+        raft = RAFT(corr_backend="pallas", dtype=jnp.bfloat16,
+                    num_iters=12)
+        rh, rw = 448, 1024
+        r1 = jnp.asarray(rng.random((1, rh, rw, 3)), jnp.float32)
+        r2 = jnp.asarray(rng.random((1, rh, rw, 3)), jnp.float32)
+        rparams = jax.jit(raft.init)(jax.random.key(0), r1, r2)
+
+        @jax.jit
+        def raft_infer(params, a, b):
+            flows = raft.apply(params, a, b, train=False)
+            return jnp.sum(flows[-1])
+
+        t_raft = _bench(raft_infer, rparams, r1, r2, iters=30)
+        print(f"raft: {1.0 / t_raft:.2f} frames/sec inference "
+              f"({t_raft * 1e3:.2f} ms @ {rh}x{rw}, 12 iters)",
+              file=sys.stderr)
+
+        rb, rbh, rbw = 4, 256, 256
+        rbatch = {
+            "im1": jnp.asarray(rng.random((rb, rbh, rbw, 3)), jnp.float32),
+            "im2": jnp.asarray(rng.random((rb, rbh, rbw, 3)), jnp.float32),
+            "flow": jnp.asarray(rng.standard_normal((rb, rbh, rbw, 2)),
+                                jnp.float32),
+            "valid": jnp.ones((rb, rbh, rbw), jnp.float32),
+        }
+        rtparams = jax.jit(raft.init)(
+            jax.random.key(0), rbatch["im1"][:1], rbatch["im2"][:1])
+        rstate = TrainState.create(rtparams, tx, jax.random.key(1))
+        rstep = make_train_step(raft, tx, aug=None, loss_kind="sequence")
+        rstate, rm = rstep(rstate, rbatch)
+        float(rm["loss"])
+        iters = 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            rstate, rm = rstep(rstate, rbatch)
+        float(rm["loss"])
+        t_rstep = (time.perf_counter() - t0) / iters
+        print(f"raft train: {rb / t_rstep:.2f} pairs/sec/chip "
+              f"({t_rstep * 1e3:.1f} ms/step, batch {rb} @ {rbh}x{rbw})",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"raft bench failed: {e!r}", file=sys.stderr)
     signal.alarm(0)
     return 0
 

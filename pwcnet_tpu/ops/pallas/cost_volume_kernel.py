@@ -51,6 +51,16 @@ from jax.experimental.pallas import tpu as pltpu
 # margin for Mosaic scratch is reserved).
 _VMEM_BUDGET_BYTES = int(11.5 * 1024 * 1024)
 
+# Backward compute dtype. "f32" (default, r1-r3 behavior) upcasts the
+# backward streams; "input" keeps them in the input dtype with f32
+# accumulation only. Measured on v5e (benchmarks/results/bwd_dtype_r4.md):
+# end-to-end TIE (the kernels are VPU-compute-bound, not bandwidth-bound)
+# — and the bf16 variant's misaligned sublane-packed dy-slices OOM
+# Mosaic's scoped VMEM at the tiny level-6 shape when the batch is not
+# width-packed. f32 is the robust default; the flag stays for wide-shape
+# experiments.
+CORR_BWD_COMPUTE_DTYPE = "f32"
+
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
@@ -177,15 +187,16 @@ def _corr_bwd_f1_kernel(g_ref, f2a_ref, f2b_ref, out_ref, f2x, acc, *,
                         d: int, tile: int, w: int, c: int):
     """df1[c, y, x] = (1/C) sum_k g[k, y, x] * f2p[c, y+dy, x+dx]."""
     side = 2 * d + 1
-    gb = g_ref[0]  # (D^2, TILE, W) f32
+    gb = g_ref[0]  # (D^2, TILE, W) input dtype
     acc[...] = jnp.zeros_like(acc)
     for dx in range(side):
         f2x[:, :tile, :] = f2a_ref[0, :, :, dx:dx + w]
         f2x[:, tile:, :] = f2b_ref[0, :, :, dx:dx + w]
         for dy in range(side):
             k = dy * side + dx
-            acc[...] += gb[k:k + 1] * f2x[:, dy:dy + tile, :]
-    out_ref[0] = acc[...] * (1.0 / c)
+            acc[...] += (gb[k:k + 1]
+                         * f2x[:, dy:dy + tile, :]).astype(jnp.float32)
+    out_ref[0] = (acc[...] * (1.0 / c)).astype(out_ref.dtype)
 
 
 def _corr_bwd_f2_kernel(ga_ref, gb_ref, f1a_ref, f1b_ref, out_ref, gx, f1x,
@@ -205,8 +216,8 @@ def _corr_bwd_f2_kernel(ga_ref, gb_ref, f1a_ref, f1b_ref, out_ref, gx, f1x,
             k = dy * side + dx
             sy = 2 * d - dy
             acc[...] += (gx[k:k + 1, sy:sy + tile, :]
-                         * f1x[:, sy:sy + tile, :])
-    out_ref[0] = acc[...] * (1.0 / c)
+                         * f1x[:, sy:sy + tile, :]).astype(jnp.float32)
+    out_ref[0] = (acc[...] * (1.0 / c)).astype(out_ref.dtype)
 
 
 def _corr_backward_pallas(f1: jax.Array, f2: jax.Array, g: jax.Array,
@@ -216,9 +227,14 @@ def _corr_backward_pallas(f1: jax.Array, f2: jax.Array, g: jax.Array,
     side = 2 * d + 1
     side2 = side * side
     wp = w + 2 * d
-    g32 = _to_cf(g.astype(jnp.float32))
+    # Stream dtype: match the forward's precision model (input-dtype
+    # products, f32 accumulation) unless CORR_BWD_COMPUTE_DTYPE == "f32".
+    cdt = (jnp.float32 if CORR_BWD_COMPUTE_DTYPE == "f32"
+           else f1.dtype)
+    itemsize = jnp.dtype(cdt).itemsize
+    gs = _to_cf(g.astype(cdt))
 
-    tile = min(_pick_tile(w, side2 + c, c, d, 4), _round_up(h, 8))
+    tile = min(_pick_tile(w, side2 + c, c, d, itemsize), _round_up(h, 8))
     n_tiles = _cdiv(h, tile)
 
     halo = lambda ch, off: pl.BlockSpec(
@@ -226,10 +242,10 @@ def _corr_backward_pallas(f1: jax.Array, f2: jax.Array, g: jax.Array,
         memory_space=pltpu.VMEM)
 
     # --- df1: same windowed-gather structure as the forward. ---
-    f2cf = _pad_rows(_to_cf(f2.astype(jnp.float32)), d, tile, n_tiles, h)
+    f2cf = _pad_rows(_to_cf(f2.astype(cdt)), d, tile, n_tiles, h)
     df1 = pl.pallas_call(
         functools.partial(_corr_bwd_f1_kernel, d=d, tile=tile, w=w, c=c),
-        out_shape=jax.ShapeDtypeStruct((n, c, h, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, c, h, w), cdt),
         grid=(n, n_tiles),
         in_specs=[
             pl.BlockSpec((1, side2, tile, w), lambda b, i: (b, 0, i, 0),
@@ -239,23 +255,23 @@ def _corr_backward_pallas(f1: jax.Array, f2: jax.Array, g: jax.Array,
         ],
         out_specs=pl.BlockSpec((1, c, tile, w), lambda b, i: (b, 0, i, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((c, 2 * tile, w), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((c, 2 * tile, w), cdt),
                         pltpu.VMEM((c, tile, w), jnp.float32)],
         interpret=interpret,
-    )(g32, f2cf, f2cf)
+    )(gs, f2cf, f2cf)
 
     # --- df2: gather from opposite shifts of padded g and f1. ---
-    gp = _pad_rows(g32, d, tile, n_tiles, h)
-    f1p = _pad_rows(_to_cf(f1.astype(jnp.float32)), d, tile, n_tiles, h)
+    gp = _pad_rows(gs, d, tile, n_tiles, h)
+    f1p = _pad_rows(_to_cf(f1.astype(cdt)), d, tile, n_tiles, h)
     df2 = pl.pallas_call(
         functools.partial(_corr_bwd_f2_kernel, d=d, tile=tile, w=w, c=c),
-        out_shape=jax.ShapeDtypeStruct((n, c, h, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, c, h, w), cdt),
         grid=(n, n_tiles),
         in_specs=[halo(side2, 0), halo(side2, 1), halo(c, 0), halo(c, 1)],
         out_specs=pl.BlockSpec((1, c, tile, w), lambda b, i: (b, 0, i, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((side2, 2 * tile, w), jnp.float32),
-                        pltpu.VMEM((c, 2 * tile, w), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((side2, 2 * tile, w), cdt),
+                        pltpu.VMEM((c, 2 * tile, w), cdt),
                         pltpu.VMEM((c, tile, w), jnp.float32)],
         interpret=interpret,
     )(gp, gp, f1p, f1p)
@@ -325,6 +341,31 @@ def cost_volume_pallas_prepadded(f1: jax.Array, f2e: jax.Array, *,
     return _cost_volume_pallas_pre(f1, f2e, d, interpret)
 
 
+# Lane-fill packing: with W below this, multi-sample batches are packed
+# along the width (2d-zero separators) so the kernel's 128-lane rows stay
+# busy — PWC levels 4-6 at training batch sizes, and RAFT's 1/8- and
+# 1/16-res lookups, otherwise leave 50-90% of lanes idle.
+PACK_MIN_LANES = 128
+
+
+def _pack_width(x: jax.Array, d: int) -> jax.Array:
+    """(N, H, W, C) -> (1, H, N*(W+2d), C): samples side by side along W,
+    each followed by 2d zero columns. A tap at |dx| <= d from a sample
+    edge reads separator zeros — exactly what the zero-padded correlation
+    of the unpacked sample would read, so packed outputs at sample
+    columns equal unpacked outputs (separator columns are discarded)."""
+    n, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 2 * d), (0, 0)))
+    return xp.transpose(1, 0, 2, 3).reshape(1, h, n * (w + 2 * d), c)
+
+
+def _unpack_width(out: jax.Array, n: int, w: int, d: int) -> jax.Array:
+    """(1, H, N*(W+2d), K) -> (N, H, W, K)."""
+    _, h, wp, k = out.shape
+    out = out.reshape(h, n, w + 2 * d, k).transpose(1, 0, 2, 3)
+    return out[:, :, :w, :]
+
+
 def cost_volume_pallas(f1: jax.Array, f2: jax.Array, *,
                        max_displacement: int = 4,
                        interpret: bool | None = None) -> jax.Array:
@@ -340,13 +381,31 @@ def cost_volume_pallas(f1: jax.Array, f2: jax.Array, *,
     side = 2 * d + 1
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if w < PACK_MIN_LANES and n > 1:
+        # Batch-to-width packing (see _pack_width). The pack/unpack sits
+        # OUTSIDE the custom_vjp, so the backward kernels also run on the
+        # lane-filled layout and XLA autodiffs the pad/transpose/reshape
+        # wrappers (their transposes are slices/transposes — cheap).
+        fp1, fp2 = _pack_width(f1, d), _pack_width(f2, d)
+        wp = fp1.shape[2]
+        fwd_ok = _pick_tile(wp, c, side * side, d,
+                            f1.dtype.itemsize) is not None
+        bwd_item = (4 if CORR_BWD_COMPUTE_DTYPE == "f32"
+                    else f1.dtype.itemsize)
+        bwd_ok = _pick_tile(wp, side * side + c, c, d,
+                            bwd_item) is not None
+        if fwd_ok and bwd_ok:
+            out = _cost_volume_pallas(fp1, fp2, d, interpret)
+            return _unpack_width(out, n, w, d)
     # Both forward and backward tiles must fit VMEM (training uses both).
     # NOTE: standalone microbenchmarks suggest lax wins at small widths
     # (idle lanes), but in the full model routing small levels to lax was
     # measured 25% SLOWER end-to-end on v5e (398 -> 307 fps at Sintel res)
     # — scheduling/fusion effects dominate; keep the kernel everywhere.
+    bwd_item = (4 if CORR_BWD_COMPUTE_DTYPE == "f32"
+                else f1.dtype.itemsize)
     fwd_ok = _pick_tile(w, c, side * side, d, f1.dtype.itemsize) is not None
-    bwd_ok = _pick_tile(w, side * side + c, c, d, 4) is not None
+    bwd_ok = _pick_tile(w, side * side + c, c, d, bwd_item) is not None
     if not (fwd_ok and bwd_ok):
         from pwcnet_tpu.ops.cost_volume import cost_volume_lax
         return cost_volume_lax(f1, f2, d)

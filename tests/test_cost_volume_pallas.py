@@ -71,3 +71,37 @@ def test_oversize_falls_back_to_lax(rng, monkeypatch):
     out = cost_volume_pallas(f1, f1, interpret=True)
     want = cost_volume_lax(f1, f1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-5)
+
+
+def test_batch_width_packing_matches_lax_forward_and_grads():
+    """r4 lane-fill packing (cost_volume_kernel.PACK_MIN_LANES): narrow-W
+    multi-sample batches are packed along width with 2d-zero separators;
+    outputs and BOTH input grads must match the lax oracle exactly as in
+    the unpacked case."""
+    from pwcnet_tpu.ops.cost_volume import cost_volume_lax
+    from pwcnet_tpu.ops.pallas.cost_volume_kernel import (
+        PACK_MIN_LANES, cost_volume_pallas)
+
+    rng = np.random.default_rng(5)
+    n, h, w, c, d = 3, 24, 40, 16, 4
+    assert w < PACK_MIN_LANES  # the packed route must trigger
+    f1 = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+
+    out = cost_volume_pallas(f1, f2, max_displacement=d)
+    ref = cost_volume_lax(f1, f2, d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    def loss_pallas(a, b):
+        return jnp.sum(jnp.sin(
+            cost_volume_pallas(a, b, max_displacement=d)))
+
+    def loss_lax(a, b):
+        return jnp.sum(jnp.sin(cost_volume_lax(a, b, d)))
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1))(f1, f2)
+    g2 = jax.grad(loss_lax, argnums=(0, 1))(f1, f2)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=3e-5)
