@@ -291,8 +291,21 @@ def _cv_fwd(f1, f2, d, interpret):
     return _corr_forward_pallas(f1, f2, d, interpret), (f1, f2)
 
 
+# Below this many pixels (post-packing shape), the hand-written backward
+# kernels are grid/launch-bound and XLA's autodiff of the lax forward is
+# faster (roofline r4: L6 at batch 1, 53 us pallas vs 8 us lax; L5 2x).
+# Routing the backward only — the pallas forward still wins at every
+# level. Value chosen at the measured L4/L5 crossover.
+BWD_LAX_MAX_PIXELS = 1024
+
+
 def _cv_bwd(d, interpret, res, g):
     f1, f2 = res
+    n, h, w, c = f1.shape
+    if h * w <= BWD_LAX_MAX_PIXELS:
+        from pwcnet_tpu.ops.cost_volume import cost_volume_lax
+        _, vjp = jax.vjp(lambda a, b: cost_volume_lax(a, b, d), f1, f2)
+        return vjp(g.astype(f1.dtype))  # cotangent dtype = lax out dtype
     return _corr_backward_pallas(f1, f2, g, d, interpret)
 
 

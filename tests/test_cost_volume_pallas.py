@@ -105,3 +105,34 @@ def test_batch_width_packing_matches_lax_forward_and_grads():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-5, rtol=3e-5)
+
+
+def test_small_shape_backward_routes_to_lax_and_matches():
+    """r4 BWD_LAX_MAX_PIXELS routing: tiny shapes take the lax backward
+    (roofline r4: grid-bound pallas bwd loses 2-6x there); grads must be
+    identical to the pallas backward path, bf16 included."""
+    from pwcnet_tpu.ops.cost_volume import cost_volume_lax
+    from pwcnet_tpu.ops.pallas import cost_volume_kernel as cvk
+
+    rng = np.random.default_rng(11)
+    n, h, w, c, d = 1, 8, 16, 196, 4  # level-6-like; h*w=128 <= threshold
+    assert h * w <= cvk.BWD_LAX_MAX_PIXELS
+    for dt in (jnp.float32, jnp.bfloat16):
+        f1 = jnp.asarray(rng.standard_normal((n, h, w, c)), dt)
+        f2 = jnp.asarray(rng.standard_normal((n, h, w, c)), dt)
+
+        def loss_p(a, b):
+            return jnp.sum(jnp.sin(cvk.cost_volume_pallas(
+                a, b, max_displacement=d).astype(jnp.float32)))
+
+        def loss_l(a, b):
+            return jnp.sum(jnp.sin(cost_volume_lax(
+                a, b, d).astype(jnp.float32)))
+
+        gp = jax.jit(jax.grad(loss_p, argnums=(0, 1)))(f1, f2)
+        gl = jax.jit(jax.grad(loss_l, argnums=(0, 1)))(f1, f2)
+        tol = 1e-5 if dt == jnp.float32 else 2e-2
+        for a, b in zip(gp, gl):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                atol=tol, rtol=tol)
