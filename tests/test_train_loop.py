@@ -129,3 +129,40 @@ def test_raft_family_trains(chairs_dir, tmp_path):
     m = train(cfg)
     assert m["step"] == 3
     assert np.isfinite(m["loss"])
+
+
+def test_restore_template_matches_grad_clip_coupled_l2_checkpoint(tmp_path):
+    """ADVICE r3 (medium): a checkpoint trained with grad_clip>0 /
+    coupled_l2=true has extra optax chain state; every CLI restore site
+    now builds its template via optimizer_from_config(cfg.train), so the
+    pytree structure must round-trip for any flag combination."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from pwcnet_tpu.config import Config
+    from pwcnet_tpu.train.checkpoint import CheckpointManager, abstract_like
+    from pwcnet_tpu.train.schedule import optimizer_from_config
+    from pwcnet_tpu.train.state import TrainState
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, grad_clip=1.0,
+                                       coupled_l2=True))
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    tx = optimizer_from_config(cfg.train)
+    state = TrainState.create(params, tx, jax.random.key(0))
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    assert mgr.save(state, force=True)
+    mgr.wait()
+
+    # Restore through a template built EXACTLY as the CLI sites build it.
+    tx2 = optimizer_from_config(cfg.train)
+    template = TrainState.create(params, tx2, jax.random.key(0))
+    restored = mgr.restore(abstract_like(template))
+    mgr.close()
+    assert (jax.tree_util.tree_structure(restored)
+            == jax.tree_util.tree_structure(state))
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.asarray(state.params["w"]))
