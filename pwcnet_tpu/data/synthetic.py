@@ -338,12 +338,19 @@ class SyntheticFlow(FlowDataset):
     def __init__(self, root: str = "-", split: str = "train",
                  hw: Tuple[int, int] = (384, 448), length: int = 4000,
                  val_length: int = 256, seed: int = 17,
-                 regime: str = "smooth"):
+                 regime: str = "smooth", cache: bool | None = None):
         self.hw = tuple(hw)
         self.split = split
         self.seed = seed
         self.regime = regime
         self._len = val_length if split == "val" else length
+        # Samples are deterministic in (seed, split, idx), so the val
+        # split memoizes rendered samples: re-rendering 128 hard-regime
+        # samples per eval costs ~60-100 s of host CPU (measured r4, the
+        # 2-core host), repeated 50x over a full schedule. ~6 MB/sample.
+        self._cache: dict | None = (
+            {} if (cache if cache is not None else split == "val")
+            else None)
 
     def __len__(self) -> int:
         return self._len
@@ -354,11 +361,16 @@ class SyntheticFlow(FlowDataset):
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         if not 0 <= idx < self._len:
             raise IndexError(idx)
+        if self._cache is not None and idx in self._cache:
+            return dict(self._cache[idx])
         stream = 1 if self.split == "val" else 0
         rng = np.random.default_rng((self.seed, stream, idx))
         p = _scale_pos(_host_params(rng, self.regime), self.hw, np)
         s = _render(np, self.hw, p)
-        return {k: np.asarray(v, np.float32) for k, v in s.items()}
+        out = {k: np.asarray(v, np.float32) for k, v in s.items()}
+        if self._cache is not None:
+            self._cache[idx] = out
+        return dict(out)
 
 
 def device_sample(key: jax.Array, hw: Tuple[int, int],
