@@ -39,7 +39,8 @@ def cmd_eval(args) -> int:
     import jax
 
     from pwcnet_tpu.data.base import get_dataset
-    from pwcnet_tpu.train.checkpoint import CheckpointManager
+    from pwcnet_tpu.train.checkpoint import (CheckpointManager,
+                                              abstract_like)
     from pwcnet_tpu.train.evaluate import evaluate_dataset
     from pwcnet_tpu.train.loop import build_model
     from pwcnet_tpu.train.schedule import optimizer_from_config
@@ -57,7 +58,7 @@ def cmd_eval(args) -> int:
         tx = optimizer_from_config(cfg.train)
         template = TrainState.create(params, tx, jax.random.key(0))
         ckpt = CheckpointManager(args.ckpt)
-        params = ckpt.restore(jax.device_get(template)).params
+        params = ckpt.restore(abstract_like(template)).params
         ckpt.close()
     out = evaluate_dataset(model, params, ds, batch=cfg.data.eval_batch,
                            limit=cfg.train.eval_limit)
@@ -70,7 +71,8 @@ def cmd_predict(args) -> int:
 
     from pwcnet_tpu.data.base import read_image
     from pwcnet_tpu.io import flow_to_rgb, save_flow
-    from pwcnet_tpu.train.checkpoint import CheckpointManager
+    from pwcnet_tpu.train.checkpoint import (CheckpointManager,
+                                              abstract_like)
     from pwcnet_tpu.train.evaluate import predict_flow
     from pwcnet_tpu.train.loop import build_model
     from pwcnet_tpu.train.schedule import optimizer_from_config
@@ -85,7 +87,7 @@ def cmd_predict(args) -> int:
         tx = optimizer_from_config(cfg.train)
         template = TrainState.create(params, tx, jax.random.key(0))
         ckpt = CheckpointManager(args.ckpt)
-        params = ckpt.restore(jax.device_get(template)).params
+        params = ckpt.restore(abstract_like(template)).params
         ckpt.close()
     flow = predict_flow(model, params, im1, im2)
     if args.out:
@@ -104,7 +106,8 @@ def cmd_match(args) -> int:
 
     from pwcnet_tpu.data.base import read_image
     from pwcnet_tpu.frontend import match_two_view
-    from pwcnet_tpu.train.checkpoint import CheckpointManager
+    from pwcnet_tpu.train.checkpoint import (CheckpointManager,
+                                              abstract_like)
     from pwcnet_tpu.train.loop import build_model
     from pwcnet_tpu.train.schedule import optimizer_from_config
     from pwcnet_tpu.train.state import TrainState
@@ -118,7 +121,7 @@ def cmd_match(args) -> int:
         tx = optimizer_from_config(cfg.train)
         template = TrainState.create(params, tx, jax.random.key(0))
         ckpt = CheckpointManager(args.ckpt)
-        params = ckpt.restore(jax.device_get(template)).params
+        params = ckpt.restore(abstract_like(template)).params
         ckpt.close()
     out = match_two_view(model, params, im1, im2,
                          grid_step=args.grid_step,

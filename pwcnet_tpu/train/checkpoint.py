@@ -17,6 +17,21 @@ import orbax.checkpoint as ocp
 from pwcnet_tpu.train.state import TrainState
 
 
+def abstract_like(state: TrainState) -> TrainState:
+    """Shape/dtype/sharding-abstract copy of a (device) state pytree.
+
+    Passing this to ``restore`` avoids fetching a full concrete template
+    to host first (a ~60 MB device->host round trip through the remote-TPU
+    tunnel) and makes Orbax materialize the restored arrays directly on
+    device with the template's sharding.
+    """
+    def _abs(x):
+        sharding = getattr(x, "sharding", None)
+        return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+
+    return jax.tree_util.tree_map(_abs, state)
+
+
 def remap_stem_params(extractor_params: dict, to_fused: bool) -> dict:
     """Convert a ``FeaturePyramidExtractor`` parameter subtree between the
     plain layout (``ConvBlock_0..``, min_level=1 or use_norm) and the fused

@@ -24,7 +24,8 @@ from pwcnet_tpu.parallel import (
     replicate,
     shard_batch,
 )
-from pwcnet_tpu.train.checkpoint import CheckpointManager
+from pwcnet_tpu.train.checkpoint import (CheckpointManager,
+                                          abstract_like)
 from pwcnet_tpu.train.evaluate import evaluate_dataset
 from pwcnet_tpu.train.metrics import MetricsWriter
 from pwcnet_tpu.train.schedule import make_lr_schedule, optimizer_from_config
@@ -117,14 +118,14 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
                              max_to_keep=cfg.train.max_to_keep)
     if cfg.train.init_from:
         warm = CheckpointManager(cfg.train.init_from)
-        restored = warm.restore(jax.device_get(state))
+        restored = warm.restore(abstract_like(state))
         state = replicate(mesh, state.replace(params=restored.params))
         warm.close()
     if cfg.train.resume and ckpt.latest_step is not None:
-        # Only pay the device->host round trip of the template when there is
-        # actually a checkpoint to restore (it is ~60 MB of params+moments,
-        # and very expensive through a remote-TPU tunnel).
-        state = ckpt.restore_latest_or(jax.device_get(state))
+        # Abstract template: no device->host round trip (the state is
+        # ~60 MB of params+moments — very expensive through a remote-TPU
+        # tunnel); Orbax materializes directly on device.
+        state = ckpt.restore_latest_or(abstract_like(state))
         state = replicate(mesh, state)
     start_step = int(jax.device_get(state.step))
 
@@ -221,7 +222,11 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
                                 "further failures are suppressed)")
 
             if step % cfg.train.checkpoint_interval == 0 or step == total:
-                ckpt.save(jax.device_get(state))
+                # Async Orbax save on the device arrays (no host gather
+                # here): orbax copies to host once, then writes in the
+                # background while training continues (SURVEY §5
+                # "sharded-save aware"; VERDICT r3 missing #6).
+                ckpt.save(state)
     finally:
         if loader is not None:
             loader.close()

@@ -58,13 +58,14 @@ def parity_report(cfg, im1_path: str, im2_path: str,
         a, b = jnp.asarray(p1), jnp.asarray(p2)
         params = jax.jit(model.init)(jax.random.key(0), a, b)
         if ckpt:
-            from pwcnet_tpu.train.checkpoint import CheckpointManager
+            from pwcnet_tpu.train.checkpoint import (CheckpointManager,
+                                              abstract_like)
             from pwcnet_tpu.train.schedule import optimizer_from_config
             from pwcnet_tpu.train.state import TrainState
             tx = optimizer_from_config(cfg.train)
             template = TrainState.create(params, tx, jax.random.key(0))
             mgr = CheckpointManager(ckpt)
-            params = mgr.restore(jax.device_get(template)).params
+            params = mgr.restore(abstract_like(template)).params
             mgr.close()
         flows = jax.jit(lambda p, x, y: model.apply(p, x, y, train=False))(
             params, a, b)
