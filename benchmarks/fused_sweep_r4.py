@@ -90,12 +90,12 @@ def main() -> int:
         entry["fused_vs_pallas"] = (entry["fused"]["ms_median"]
                                     / entry["pallas"]["ms_median"])
         results["resolutions"][key] = entry
-
-    path = os.path.join(os.path.dirname(__file__), "results",
-                        "fused_sweep_r4.json")
-    with open(path, "w") as f:
-        json.dump(results, f, indent=1)
-    print("wrote", path)
+        # Incremental dump: a wall-clock kill must not lose finished rows.
+        path = os.path.join(os.path.dirname(__file__), "results",
+                            "fused_sweep_r4.json")
+        with open(path, "w") as f:
+            json.dump(results, f, indent=1)
+        print("wrote", path, "through", key, flush=True)
     return 0
 
 
