@@ -28,6 +28,8 @@ RESOLUTIONS = [(448, 1024), (768, 1024), (1024, 2048)]
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--only", default=None,
+                    help="run a single resolution, e.g. 1024x2048")
     args = ap.parse_args()
 
     import jax
@@ -44,9 +46,17 @@ def main() -> int:
                                                         fused_is_profitable)
 
     rng = np.random.default_rng(0)
+    path0 = os.path.join(os.path.dirname(__file__), "results",
+                         "fused_sweep_r4.json")
     results = {"fused_min_pixels": FUSED_MIN_PIXELS, "resolutions": {}}
+    if os.path.exists(path0):  # merge with previously-finished rows
+        results = json.load(open(path0))
 
-    for h, w in RESOLUTIONS:
+    todo = RESOLUTIONS
+    if args.only:
+        h_, w_ = map(int, args.only.split("x"))
+        todo = [(h_, w_)]
+    for h, w in todo:
         key = f"{h}x{w}"
         im1 = jnp.asarray(rng.random((1, h, w, 3)), jnp.float32)
         im2 = jnp.asarray(rng.random((1, h, w, 3)), jnp.float32)
