@@ -41,7 +41,9 @@ def main(pwc_path, raft_path) -> int:
             "raft_better": raft[last] < pwc[last],
         }
         print(json.dumps(out["at_equal_steps"]))
-    with open("benchmarks/results/raft_vs_pwc_synthetic.json", "w") as f:
+    out_path = (sys.argv[3] if len(sys.argv) > 3
+                else "benchmarks/results/raft_vs_pwc_synthetic.json")
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     return 0
 
