@@ -1,4 +1,11 @@
-"""Stem forward restructuring probe: merge the 3 kh-tap dots per conv
+"""Stem forward restructuring probe — NEGATIVE RESULT, DO NOT RUN ON TPU.
+
+The tap-merged kernel's scratch writes straddle 128-lane register
+boundaries; its Mosaic compile did not return within 25 minutes and
+WEDGED the shared axon compile service for ~40+ minutes (all new
+compiles queue behind it; killing the client does not cancel it). Kept
+for the record with the analysis in profile_r4.md. Original intent:
+merge the 3 kh-tap dots per conv
 into ONE K-concatenated dot (profile_r4 attack list: the stem runs at
 ~29% of padded-MXU peak; hypothesis — per-dot pipeline overhead and K
 under-fill dominate, so 12 dots/tile -> 4 with K 160->480 (94% of the
