@@ -203,8 +203,11 @@ def main() -> int:
         }
         rtparams = jax.jit(raft.init)(
             jax.random.key(0), rbatch["im1"][:1], rbatch["im2"][:1])
-        rstate = TrainState.create(rtparams, tx, jax.random.key(1))
-        rstep = make_train_step(raft, tx, aug=None, loss_kind="sequence")
+        # Own optimizer: keeps this context bench independent of whether
+        # the train-context block above succeeded.
+        rtx = make_optimizer(S_LONG)
+        rstate = TrainState.create(rtparams, rtx, jax.random.key(1))
+        rstep = make_train_step(raft, rtx, aug=None, loss_kind="sequence")
         rstate, rm = rstep(rstate, rbatch)
         float(rm["loss"])
         iters = 10

@@ -248,7 +248,9 @@ def main(argv=None) -> int:
         help="reference-parity harness: EPE of one pair vs GT and/or a "
              "reference .flo (BASELINE config 1; PARITY.md rows 9/18)")
     common(p)
-    p.add_argument("--ckpt", default=None)
+    p.add_argument("--ckpt", default=None,
+                   help="checkpoint dir (orbax) or a reference torch "
+                        ".pth/.pt state_dict (imported via compat/)")
     p.add_argument("--im1", required=True)
     p.add_argument("--im2", required=True)
     p.add_argument("--gt", default=None, help="ground-truth .flo")

@@ -122,7 +122,14 @@ class Loader:
     def _producer(self) -> None:
         step = self.step
         while not self._stop.is_set():
-            batch = self._load_batch(step)
+            try:
+                batch = self._load_batch(step)
+            except RuntimeError:
+                # close() may shut the pool down while we are mid-map;
+                # only a still-live close is expected to race us.
+                if self._stop.is_set():
+                    return
+                raise
             while not self._stop.is_set():
                 try:
                     self._q.put((step, batch), timeout=0.5)
@@ -147,21 +154,22 @@ class Loader:
         except queue.Empty:
             pass
         self._thread.join(timeout=5)
-        self._pool.shutdown(wait=False)
+        if not self._thread.is_alive():
+            self._pool.shutdown(wait=False)
 
 
 def eval_batches(dataset: FlowDataset, batch: int,
                  pad_to: Optional[Tuple[int, int]] = None,
-                 limit: Optional[int] = None
+                 limit: Optional[int] = None, div: int = 64
                  ) -> Iterator[Dict[str, np.ndarray]]:
     """Sequential full-dataset iterator for evaluation; pads every sample to
     a static shape (``pad_to`` or the max over the dataset rounded up to a
-    /64-divisible shape) and marks padding invalid."""
+    /``div``-divisible shape) and marks padding invalid."""
     n = len(dataset) if limit is None else min(limit, len(dataset))
     if pad_to is None:
         s0 = dataset[0]
         h, w = s0["im1"].shape[:2]
-        pad_to = (-(-h // 64) * 64, -(-w // 64) * 64)
+        pad_to = (-(-h // div) * div, -(-w // div) * div)
     for start in range(0, n, batch):
         idxs = range(start, min(start + batch, n))
         samples = [_fit_to_shape(dataset[i], pad_to) for i in idxs]

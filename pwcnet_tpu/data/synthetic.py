@@ -338,7 +338,8 @@ class SyntheticFlow(FlowDataset):
     def __init__(self, root: str = "-", split: str = "train",
                  hw: Tuple[int, int] = (384, 448), length: int = 4000,
                  val_length: int = 256, seed: int = 17,
-                 regime: str = "smooth", cache: bool | None = None):
+                 regime: str = "smooth", cache: bool | None = None,
+                 cache_bytes: int = 2 << 30):
         self.hw = tuple(hw)
         self.split = split
         self.seed = seed
@@ -348,9 +349,13 @@ class SyntheticFlow(FlowDataset):
         # split memoizes rendered samples: re-rendering 128 hard-regime
         # samples per eval costs ~60-100 s of host CPU (measured r4, the
         # 2-core host), repeated 50x over a full schedule. ~6 MB/sample.
+        # The cache is byte-capped (default 2 GiB): large eval
+        # resolutions (~16 MB/sample at 448x1024 f32) would otherwise
+        # pin unbounded host RAM on the 2-core host.
         self._cache: dict | None = (
             {} if (cache if cache is not None else split == "val")
             else None)
+        self._cache_bytes_left = int(cache_bytes)
 
     def __len__(self) -> int:
         return self._len
@@ -368,8 +373,15 @@ class SyntheticFlow(FlowDataset):
         p = _scale_pos(_host_params(rng, self.regime), self.hw, np)
         s = _render(np, self.hw, p)
         out = {k: np.asarray(v, np.float32) for k, v in s.items()}
-        if self._cache is not None:
+        nbytes = sum(v.nbytes for v in out.values())
+        if self._cache is not None and self._cache_bytes_left >= nbytes:
+            # Cached arrays are shared (shallow dict copy on return);
+            # freeze them so an in-place consumer mutation cannot
+            # silently corrupt later evals.
+            for v in out.values():
+                v.flags.writeable = False
             self._cache[idx] = out
+            self._cache_bytes_left -= nbytes
         return dict(out)
 
 

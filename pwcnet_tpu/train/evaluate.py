@@ -35,8 +35,9 @@ def predict_flow(model: PWCNet, params, im1: np.ndarray, im2: np.ndarray
                  ) -> np.ndarray:
     """Single-pair inference: (H, W, 3) images in [0,1] -> (H, W, 2) pixel
     flow at input resolution."""
-    p1, (h, w) = pad_to_divisible(im1[None])
-    p2, _ = pad_to_divisible(im2[None])
+    div = getattr(model, "pad_divisor", 64)
+    p1, (h, w) = pad_to_divisible(im1[None], div)
+    p2, _ = pad_to_divisible(im2[None], div)
 
     @jax.jit
     def fwd(params, a, b):
@@ -61,7 +62,8 @@ def evaluate_dataset(model: PWCNet, params, dataset: FlowDataset,
     step = make_eval_step(model, mesh=mesh)
     s_tot = o_tot = c_tot = b_tot = None
     from pwcnet_tpu.parallel import shard_batch
-    for b in eval_batches(dataset, batch, pad_to=pad_to, limit=limit):
+    for b in eval_batches(dataset, batch, pad_to=pad_to, limit=limit,
+                          div=getattr(model, "pad_divisor", 64)):
         if mesh is not None:
             b = shard_batch(mesh, b)
         else:

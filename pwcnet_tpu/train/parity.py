@@ -57,7 +57,12 @@ def parity_report(cfg, im1_path: str, im2_path: str,
         p2, _ = pad_to_divisible(im2[None], div)
         a, b = jnp.asarray(p1), jnp.asarray(p2)
         params = jax.jit(model.init)(jax.random.key(0), a, b)
-        if ckpt:
+        if ckpt and ckpt.endswith((".pth", ".pt")):
+            # A reference torch checkpoint: import directly (compat/
+            # torch_import.py; SURVEY §6 operational parity).
+            from pwcnet_tpu.compat import import_torch_checkpoint
+            params = import_torch_checkpoint(ckpt, model)
+        elif ckpt:
             from pwcnet_tpu.train.checkpoint import (CheckpointManager,
                                               abstract_like)
             from pwcnet_tpu.train.schedule import optimizer_from_config
