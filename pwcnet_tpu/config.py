@@ -169,7 +169,9 @@ PRESETS = {
                                     milestones=(60_000, 90_000, 110_000),
                                     total_steps=125_000),
             summary_interval=200, eval_interval=2500,
-            checkpoint_interval=5000, eval_limit=128,
+            # 512 val samples: halves the s40+ bin stderr vs 128 (VERDICT
+            # r4 weak #6); samples are memoized after the first eval.
+            checkpoint_interval=5000, eval_limit=512,
             log_dir="runs/synthetic-hard"),
     ),
     "raft-chairs": Config(  # stretch: RAFT-style iterative head

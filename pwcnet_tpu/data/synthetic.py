@@ -339,7 +339,7 @@ class SyntheticFlow(FlowDataset):
                  hw: Tuple[int, int] = (384, 448), length: int = 4000,
                  val_length: int = 256, seed: int = 17,
                  regime: str = "smooth", cache: bool | None = None,
-                 cache_bytes: int = 2 << 30):
+                 cache_bytes: int = 4 << 30):
         self.hw = tuple(hw)
         self.split = split
         self.seed = seed
@@ -349,7 +349,7 @@ class SyntheticFlow(FlowDataset):
         # split memoizes rendered samples: re-rendering 128 hard-regime
         # samples per eval costs ~60-100 s of host CPU (measured r4, the
         # 2-core host), repeated 50x over a full schedule. ~6 MB/sample.
-        # The cache is byte-capped (default 2 GiB): large eval
+        # The cache is byte-capped (default 4 GiB; 512 hard-regime 384x448 val samples ~ 3.2 GiB): large eval
         # resolutions (~16 MB/sample at 448x1024 f32) would otherwise
         # pin unbounded host RAM on the 2-core host.
         self._cache: dict | None = (

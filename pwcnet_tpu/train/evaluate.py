@@ -61,6 +61,7 @@ def evaluate_dataset(model: PWCNet, params, dataset: FlowDataset,
     """
     step = make_eval_step(model, mesh=mesh)
     s_tot = o_tot = c_tot = b_tot = None
+    samples = []
     from pwcnet_tpu.parallel import shard_batch
     for b in eval_batches(dataset, batch, pad_to=pad_to, limit=limit,
                           div=getattr(model, "pad_divisor", 64)):
@@ -68,13 +69,15 @@ def evaluate_dataset(model: PWCNet, params, dataset: FlowDataset,
             b = shard_batch(mesh, b)
         else:
             b = jax.device_put(b)
-        s, o, c, bins = step(params, b)
+        s, o, c, bins, per_sample = step(params, b)
+        samples.append(per_sample)
         if s_tot is None:
             s_tot, o_tot, c_tot, b_tot = s, o, c, bins
         else:  # device-side lazy accumulate — no host sync per batch
             s_tot, o_tot, c_tot = s_tot + s, o_tot + o, c_tot + c
             b_tot = b_tot + bins
-    num, out, den, bt = jax.device_get((s_tot, o_tot, c_tot, b_tot))
+    num, out, den, bt, ps = jax.device_get(
+        (s_tot, o_tot, c_tot, b_tot, jnp.concatenate(samples)))
     num, out, den = float(num), float(out), max(float(den), 1.0)
     res = {"epe": num / den, "fl_all": 100.0 * out / den,
            "num_valid_px": den}
@@ -82,4 +85,24 @@ def evaluate_dataset(model: PWCNet, params, dataset: FlowDataset,
     for name, (se, ce) in zip(("epe_s0_10", "epe_s10_40", "epe_s40plus"),
                               np.asarray(bt).T):
         res[name] = float(se) / max(float(ce), 1.0)
+    # Sample-level mean +/- stderr (VERDICT r4 weak #6): all-invalid rows
+    # are the final-batch padding dups — drop them. The per-sample mean
+    # weights every frame equally (vs the pixel-weighted headline EPE);
+    # both are reported.
+    ps = np.asarray(ps, np.float64)
+    ps = ps[ps[:, 1] > 0]
+    n = len(ps)
+    res["num_samples"] = n
+    if n:
+        for name, (s_col, c_col) in (("epe", (0, 1)), ("epe_s0_10", (2, 5)),
+                                     ("epe_s10_40", (3, 6)),
+                                     ("epe_s40plus", (4, 7))):
+            has = ps[:, c_col] > 0
+            if not has.any():
+                continue
+            vals = ps[has, s_col] / ps[has, c_col]
+            res[f"{name}_sample_mean"] = float(vals.mean())
+            res[f"{name}_sample_stderr"] = float(
+                vals.std(ddof=1) / np.sqrt(len(vals))) if len(vals) > 1 \
+                else 0.0
     return res

