@@ -27,8 +27,84 @@ TPU implementation notes (measured on v5e, design rationale):
 
 from __future__ import annotations
 
+import os
+from functools import partial
+
 import jax
 import jax.numpy as jnp
+
+# Backward (d_feat) implementation for the warp's single gather — the only
+# expensive piece of the warp VJP (an XLA scatter-add; 931 us for the L2
+# train shape alone, profile_r4.md). Selectable for A/B measurement
+# (benchmarks/warp_bwd_probe.py):
+#   'autodiff' — XLA's default gather-VJP scatter (r1-r4 behavior).
+#   'scatter'  — explicit lax.scatter-add with promise_in_bounds (indices
+#                are clipped in the forward, so bounds checks are dead
+#                weight) + int32 index vector.
+#   'sorted'   — per-image radix of the destination row: argsort the
+#                indices, permutation-gather the update rows, then a
+#                segment-sum with indices_are_sorted=True. Turns the
+#                random-destination scatter into (sort small keys +
+#                sequential-ish gather + sorted accumulate).
+# All three are numerically exact (scatter-add reassociation only).
+WARP_BWD = os.environ.get("PWCNET_WARP_BWD", "autodiff")
+
+# Corner extraction from the gathered 4C-wide rows (profile_r4 found the
+# (n,h,w,4,c) 5-D reshape gets an off-standard T(4,128) tiling, forcing
+# ~55-80 us relayout copies per level in BOTH directions of the train
+# step — part of the 1958 us "data formatting" budget):
+#   'reshape5d' — r1-r4 formulation: reshape to (..., 4, c), index axis 3.
+#   'slice'     — keep (..., 4c) (a pure bitcast off the gather) and take
+#                 four c-wide lane slices; exact same values.
+WARP_SPLIT = os.environ.get("PWCNET_WARP_SPLIT", "reshape5d")
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _gather_rows(flat: jax.Array, idx: jax.Array, impl: str, p: int
+                 ) -> jax.Array:
+    """``take_along_axis(flat, idx, axis=1)`` with a selectable VJP.
+
+    ``p`` must equal ``flat.shape[1]`` (static; the backward reconstructs
+    the operand shape from it plus the cotangent's shape/dtype).
+    """
+    return jnp.take_along_axis(flat, idx, axis=1)
+
+
+def _gather_rows_fwd(flat, idx, impl, p):
+    return _gather_rows(flat, idx, impl, p), idx
+
+
+def _gather_rows_bwd(impl, p, idx, g):
+    n, _, c = g.shape
+    shape = (n, p, c)
+    if impl == "scatter":
+        dnums = jax.lax.ScatterDimensionNumbers(
+            update_window_dims=(2,), inserted_window_dims=(1,),
+            operand_batching_dims=(0,), scatter_indices_batching_dims=(0,),
+            scatter_dims_to_operand_dims=(1,))
+        d_flat = jax.lax.scatter_add(
+            jnp.zeros(shape, g.dtype), idx.astype(jnp.int32), g,
+            dimension_numbers=dnums, indices_are_sorted=False,
+            unique_indices=False,
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+    elif impl == "sorted":
+        keys = idx[..., 0].astype(jnp.int32)            # (n, t)
+        order = jnp.argsort(keys, axis=1)
+        sorted_keys = jnp.take_along_axis(keys, order, axis=1)
+        sorted_g = jnp.take_along_axis(g, order[..., None], axis=1)
+
+        def one(k, u):
+            return jax.ops.segment_sum(u, k, num_segments=p,
+                                       indices_are_sorted=True)
+        d_flat = jax.vmap(one)(sorted_keys, sorted_g)
+    else:  # 'autodiff'
+        _, vjp = jax.vjp(lambda f: jnp.take_along_axis(f, idx, axis=1),
+                         jnp.zeros(shape, g.dtype))
+        (d_flat,) = vjp(g)
+    return d_flat, None
+
+
+_gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
 def _sample_coords(feat: jax.Array, flow: jax.Array):
@@ -84,16 +160,21 @@ def warp_bilinear(feat: jax.Array, flow: jax.Array) -> jax.Array:
     xc = jnp.clip(x0 + 1, 0, wp - 2).astype(jnp.int32)
     yc = jnp.clip(y0 + 1, 0, hp - 2).astype(jnp.int32)
     idx = (yc * wp + xc).reshape(n, h * w, 1)
-    g = jnp.take_along_axis(flat, idx, axis=1)
-    g = g.reshape(n, h, w, 4, c).astype(jnp.float32)
+    g = _gather_rows(flat, idx, WARP_BWD, hp * wp)
+    if WARP_SPLIT == "slice":
+        g4 = g.reshape(n, h, w, 4 * c).astype(jnp.float32)
+        corners = [g4[..., k * c:(k + 1) * c] for k in range(4)]
+    else:
+        g = g.reshape(n, h, w, 4, c).astype(jnp.float32)
+        corners = [g[..., k, :] for k in range(4)]
 
     m00, m01, m10, m11 = _corner_masks(x0, y0, h, w)
     w00 = (1 - wy) * (1 - wx)
     w01 = (1 - wy) * wx
     w10 = wy * (1 - wx)
     w11 = wy * wx
-    out = (w00 * g[..., 0, :] * m00 + w01 * g[..., 1, :] * m01
-           + w10 * g[..., 2, :] * m10 + w11 * g[..., 3, :] * m11)
+    out = (w00 * corners[0] * m00 + w01 * corners[1] * m01
+           + w10 * corners[2] * m10 + w11 * corners[3] * m11)
     # Reference mask: coverage of a warped all-ones tensor, zeroed < 0.9999.
     cov = w00 * m00 + w01 * m01 + w10 * m10 + w11 * m11
     mask = (cov >= 0.9999).astype(jnp.float32)

@@ -89,3 +89,77 @@ def test_fast_path_matches_ref_gather(rng):
     a = warp_bilinear(feat, flow)
     b = warp_bilinear_ref(feat, flow)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+@pytest.mark.parametrize("impl", ["scatter", "sorted"])
+def test_backward_impls_match_autodiff(rng, impl):
+    """The selectable d_feat backends (ops/warp.py WARP_BWD) are exact
+    vs XLA's autodiff scatter — values and BOTH grads."""
+    from pwcnet_tpu.ops import warp as warp_mod
+
+    feat = jnp.asarray(rng.standard_normal((2, 9, 13, 5)), jnp.float32)
+    flow = jnp.asarray(rng.standard_normal((2, 9, 13, 2)) * 6, jnp.float32)
+    ct = jnp.asarray(rng.standard_normal((2, 9, 13, 5)), jnp.float32)
+
+    def run(impl):
+        old = warp_mod.WARP_BWD
+        warp_mod.WARP_BWD = impl
+        try:
+            out, vjp = jax.vjp(warp_bilinear, feat, flow)
+            gf, gl = vjp(ct)
+        finally:
+            warp_mod.WARP_BWD = old
+        return np.asarray(out), np.asarray(gf), np.asarray(gl)
+
+    out0, gf0, gl0 = run("autodiff")
+    out1, gf1, gl1 = run(impl)
+    np.testing.assert_allclose(out1, out0, atol=1e-6)
+    np.testing.assert_allclose(gf1, gf0, atol=1e-5)
+    np.testing.assert_allclose(gl1, gl0, atol=1e-5)
+
+
+@pytest.mark.parametrize("impl", ["scatter", "sorted"])
+def test_backward_impls_bf16(rng, impl):
+    from pwcnet_tpu.ops import warp as warp_mod
+
+    feat = jnp.asarray(rng.standard_normal((1, 8, 8, 4)), jnp.bfloat16)
+    flow = jnp.asarray(rng.standard_normal((1, 8, 8, 2)) * 3, jnp.float32)
+
+    def gsum(impl):
+        old = warp_mod.WARP_BWD
+        warp_mod.WARP_BWD = impl
+        try:
+            g = jax.grad(lambda f: jnp.sum(
+                warp_bilinear(f, flow).astype(jnp.float32) ** 2))(feat)
+        finally:
+            warp_mod.WARP_BWD = old
+        return np.asarray(g.astype(jnp.float32))
+
+    np.testing.assert_allclose(gsum(impl), gsum("autodiff"),
+                               atol=1e-2, rtol=1e-2)
+
+
+def test_split_formulations_identical(rng):
+    """WARP_SPLIT='slice' is a bitcast/slice reassociation of the 5-D
+    reshape formulation — values and grads must be bit-identical."""
+    from pwcnet_tpu.ops import warp as warp_mod
+
+    feat = jnp.asarray(rng.standard_normal((2, 9, 13, 5)), jnp.float32)
+    flow = jnp.asarray(rng.standard_normal((2, 9, 13, 2)) * 6, jnp.float32)
+    ct = jnp.asarray(rng.standard_normal((2, 9, 13, 5)), jnp.float32)
+
+    def run(split):
+        old = warp_mod.WARP_SPLIT
+        warp_mod.WARP_SPLIT = split
+        try:
+            out, vjp = jax.vjp(warp_bilinear, feat, flow)
+            gf, gl = vjp(ct)
+        finally:
+            warp_mod.WARP_SPLIT = old
+        return np.asarray(out), np.asarray(gf), np.asarray(gl)
+
+    out0, gf0, gl0 = run("reshape5d")
+    out1, gf1, gl1 = run("slice")
+    np.testing.assert_array_equal(out1, out0)
+    np.testing.assert_array_equal(gf1, gf0)
+    np.testing.assert_array_equal(gl1, gl0)
