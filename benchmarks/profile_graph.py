@@ -151,6 +151,11 @@ def main() -> int:
     ap.add_argument("--out-dir", default=os.path.join(
         os.path.dirname(__file__), "results"))
     ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--skip-pwc", action="store_true")
+    ap.add_argument("--raft", action="store_true",
+                    help="also profile the RAFT graphs (VERDICT r4 #4)")
+    ap.add_argument("--tag", default="r4",
+                    help="output file suffix: profile_<tag>.json")
     args = ap.parse_args()
 
     jax = _setup_jax()
@@ -165,41 +170,55 @@ def main() -> int:
     model = PWCNet(corr_backend="pallas", dtype=jnp.bfloat16)
     report = {"device": str(jax.devices()[0]), "iters": args.iters}
 
-    # ---- inference: the bench.py headline graph ----
-    h, w = 448, 1024
-    im1 = jnp.asarray(rng.random((1, h, w, 3)), jnp.float32)
-    im2 = jnp.asarray(rng.random((1, h, w, 3)), jnp.float32)
-    params = jax.jit(model.init)(jax.random.key(0), im1, im2)
+    def finish_agg(agg, wall, flops=None):
+        for op in agg["per_op"]:
+            op["stage"] = _stage_of(op)
+        stages = {}
+        for op in agg["per_op"]:
+            stages[op["stage"]] = (stages.get(op["stage"], 0.0)
+                                   + op["us_per_iter"])
+        agg["per_stage"] = dict(sorted(stages.items(), key=lambda kv: -kv[1]))
+        agg["wall_us_per_iter"] = wall * 1e6
+        if flops is not None:
+            agg["flops_per_frame"] = flops
+            dev_s = agg["device_us_per_iter"] * 1e-6
+            agg["mfu_vs_v5e_bf16_peak"] = (flops / dev_s) / V5E_BF16_PEAK
+        return agg
 
-    @jax.jit
-    def infer(params, a, b):
-        flows = model.apply(params, a, b, train=False)
-        return jnp.sum(model.full_res_flow(flows, (h, w)))
+    if args.skip_pwc:
+        report_path = os.path.join(args.out_dir,
+                                   f"profile_{args.tag}.json")
+        if os.path.exists(report_path):
+            with open(report_path) as f:
+                report.update(json.load(f))
 
-    lowered = infer.lower(params, im1, im2)
-    cost = lowered.compile().cost_analysis()
-    infer_flops = float(cost.get("flops", 0.0)) if cost else 0.0
+    if not args.skip_pwc:
+        # ---- inference: the bench.py headline graph ----
+        h, w = 448, 1024
+        im1 = jnp.asarray(rng.random((1, h, w, 3)), jnp.float32)
+        im2 = jnp.asarray(rng.random((1, h, w, 3)), jnp.float32)
+        params = jax.jit(model.init)(jax.random.key(0), im1, im2)
 
-    tdir = "/tmp/pwcnet_profile_infer"
-    wall = _trace(jax, infer, (params, im1, im2), tdir, args.iters)
-    agg = _aggregate(_hlo_stats(tdir), args.iters)
-    for op in agg["per_op"]:
-        op["stage"] = _stage_of(op)
-    stages = {}
-    for op in agg["per_op"]:
-        stages[op["stage"]] = stages.get(op["stage"], 0.0) + op["us_per_iter"]
-    agg["per_stage"] = dict(sorted(stages.items(), key=lambda kv: -kv[1]))
-    agg["wall_us_per_iter"] = wall * 1e6
-    agg["flops_per_frame"] = infer_flops
-    dev_s = agg["device_us_per_iter"] * 1e-6
-    agg["mfu_vs_v5e_bf16_peak"] = (infer_flops / dev_s) / V5E_BF16_PEAK
-    report["inference_448x1024_b1"] = agg
-    print(f"[infer] wall {wall*1e3:.3f} ms/frame, device "
-          f"{agg['device_us_per_iter']:.0f} us, MFU "
-          f"{agg['mfu_vs_v5e_bf16_peak']*100:.1f}%", flush=True)
+        @jax.jit
+        def infer(params, a, b):
+            flows = model.apply(params, a, b, train=False)
+            return jnp.sum(model.full_res_flow(flows, (h, w)))
+
+        lowered = infer.lower(params, im1, im2)
+        cost = lowered.compile().cost_analysis()
+        infer_flops = float(cost.get("flops", 0.0)) if cost else 0.0
+
+        tdir = "/tmp/pwcnet_profile_infer"
+        wall = _trace(jax, infer, (params, im1, im2), tdir, args.iters)
+        agg = finish_agg(_aggregate(_hlo_stats(tdir), args.iters), wall,
+                         infer_flops)
+        report["inference_448x1024_b1"] = agg
+        print(f"[infer] wall {wall*1e3:.3f} ms/frame, device "
+              f"{agg['device_us_per_iter']:.0f} us, MFU "
+              f"{agg['mfu_vs_v5e_bf16_peak']*100:.1f}%", flush=True)
 
     # ---- train step: the bench.py train-context graph ----
-    if not args.skip_train:
+    if not args.skip_train and not args.skip_pwc:
         tx = make_optimizer(S_LONG)
         bh, bw, bs = 384, 448, 8
         batch = {
@@ -216,27 +235,72 @@ def main() -> int:
         tdir = "/tmp/pwcnet_profile_train"
         wall = _trace(jax, step, (state, batch), tdir, args.iters,
                       donate_state=True)
-        agg = _aggregate(_hlo_stats(tdir), args.iters)
-        for op in agg["per_op"]:
-            op["stage"] = _stage_of(op)
-        stages = {}
-        for op in agg["per_op"]:
-            stages[op["stage"]] = (stages.get(op["stage"], 0.0)
-                                   + op["us_per_iter"])
-        agg["per_stage"] = dict(sorted(stages.items(), key=lambda kv: -kv[1]))
-        agg["wall_us_per_iter"] = wall * 1e6
+        agg = finish_agg(_aggregate(_hlo_stats(tdir), args.iters), wall)
         report["train_384x448_b8"] = agg
         print(f"[train] wall {wall*1e3:.3f} ms/step, device "
               f"{agg['device_us_per_iter']:.0f} us", flush=True)
 
+    if args.raft:
+        # ---- RAFT graphs (bench.py raft-context; VERDICT r4 missing #3)
+        from pwcnet_tpu.models.raft import RAFT
+
+        raft = RAFT(corr_backend="pallas", dtype=jnp.bfloat16, num_iters=12)
+        rh, rw = 448, 1024
+        r1 = jnp.asarray(rng.random((1, rh, rw, 3)), jnp.float32)
+        r2 = jnp.asarray(rng.random((1, rh, rw, 3)), jnp.float32)
+        rparams = jax.jit(raft.init)(jax.random.key(0), r1, r2)
+
+        @jax.jit
+        def raft_infer(params, a, b):
+            return jnp.sum(raft.apply(params, a, b, train=False)[-1])
+
+        cost = raft_infer.lower(rparams, r1, r2).compile().cost_analysis()
+        rflops = float(cost.get("flops", 0.0)) if cost else 0.0
+        tdir = "/tmp/pwcnet_profile_raft_infer"
+        wall = _trace(jax, raft_infer, (rparams, r1, r2), tdir, args.iters)
+        agg = finish_agg(_aggregate(_hlo_stats(tdir), args.iters), wall,
+                         rflops)
+        report["raft_inference_448x1024_b1_12it"] = agg
+        print(f"[raft infer] wall {wall*1e3:.3f} ms/frame, device "
+              f"{agg['device_us_per_iter']:.0f} us, MFU "
+              f"{agg['mfu_vs_v5e_bf16_peak']*100:.1f}%", flush=True)
+
+        if not args.skip_train:
+            from pwcnet_tpu.train.schedule import S_LONG as SL
+            rtx = make_optimizer(SL)
+            rb, rbh, rbw = 4, 256, 256
+            rbatch = {
+                "im1": jnp.asarray(rng.random((rb, rbh, rbw, 3)),
+                                   jnp.float32),
+                "im2": jnp.asarray(rng.random((rb, rbh, rbw, 3)),
+                                   jnp.float32),
+                "flow": jnp.asarray(rng.standard_normal((rb, rbh, rbw, 2)),
+                                    jnp.float32),
+                "valid": jnp.ones((rb, rbh, rbw), jnp.float32),
+            }
+            rtp = jax.jit(raft.init)(
+                jax.random.key(0), rbatch["im1"][:1], rbatch["im2"][:1])
+            rstate = TrainState.create(rtp, rtx, jax.random.key(1))
+            rstep = make_train_step(raft, rtx, aug=None,
+                                    loss_kind="sequence")
+            tdir = "/tmp/pwcnet_profile_raft_train"
+            wall = _trace(jax, rstep, (rstate, rbatch), tdir, args.iters,
+                          donate_state=True)
+            agg = finish_agg(_aggregate(_hlo_stats(tdir), args.iters), wall)
+            report["raft_train_256x256_b4_12it"] = agg
+            print(f"[raft train] wall {wall*1e3:.3f} ms/step, device "
+                  f"{agg['device_us_per_iter']:.0f} us", flush=True)
+
     os.makedirs(args.out_dir, exist_ok=True)
-    out = os.path.join(args.out_dir, "profile_r4.json")
+    out = os.path.join(args.out_dir, f"profile_{args.tag}.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=1)
     print(f"wrote {out}", flush=True)
 
     # ranked human table: top ops covering >=90%
-    for key in ("inference_448x1024_b1", "train_384x448_b8"):
+    for key in ("inference_448x1024_b1", "train_384x448_b8",
+                "raft_inference_448x1024_b1_12it",
+                "raft_train_256x256_b4_12it"):
         if key not in report:
             continue
         agg = report[key]

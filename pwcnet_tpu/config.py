@@ -89,6 +89,10 @@ class TrainConfig:
     coupled_l2: bool = False
     grad_clip: float = 0.0
     loss: str = "multiscale"          # multiscale | robust
+    # Override the paper's per-level loss weights (coarsest first; None =
+    # losses.LEVEL_WEIGHTS). Knob for the hard-regime plateau recipe
+    # experiments (VERDICT r4 weak #3).
+    level_weights: Optional[Tuple[float, ...]] = None
     seed: int = 0
     log_dir: str = "runs/default"
     summary_interval: int = 100

@@ -212,6 +212,10 @@ class RAFT(nn.Module):
             c1_up = jnp.repeat(jnp.repeat(c1, 2, axis=1), 2, axis=2)
             return leaky_relu(jnp.concatenate([c0, c1_up], axis=-1))
 
+        def upsample(hidden, flow):
+            logits = 0.25 * mask_out(leaky_relu(mask_hidden(hidden)))
+            return convex_upsample(flow, logits, factor=div)
+
         def step(carry, _):
             hidden, flow = carry
             corr = lookup(jax.lax.stop_gradient(flow))
@@ -220,16 +224,25 @@ class RAFT(nn.Module):
             h_new = gru(hidden, x)
             delta = head_out(leaky_relu(head_hidden(h_new)))
             flow = flow + delta.astype(jnp.float32)
-            logits = 0.25 * mask_out(leaky_relu(mask_hidden(h_new)))
-            return (h_new, flow), convex_upsample(flow, logits, factor=div)
+            # Per-iteration convex upsample (mask head + softmax combine +
+            # full-res output) is only consumed by the training-time
+            # sequence loss; inference needs just the final iteration's,
+            # so the scan output stays coarse there — saves ~2.6 GFLOP of
+            # mask-head convs and a full-res write per skipped iteration
+            # (measured A/B: benchmarks/results/raft_profile_r5.md).
+            out = upsample(h_new, flow) if train else flow
+            return (h_new, flow), out
 
         flow0 = jnp.zeros(f1.shape[:3] + (2,), jnp.float32)
         if self.is_initializing():
-            # Run the body once unscanned so every submodule initializes.
-            (_, _), first = step((hidden, flow0), None)
-            return [first]
-        (_, _), flows = jax.lax.scan(
+            # Run the body once unscanned so every submodule initializes
+            # (including the mask head, train or not).
+            (h1, f1_), _ = step((hidden, flow0), None)
+            return [upsample(h1, f1_)]
+        (h_last, flow_last), flows = jax.lax.scan(
             step, (hidden, flow0), None, length=self.num_iters)
+        if not train:
+            return [upsample(h_last, flow_last)]
         # (iters, N, H, W, 2) full-res pixel flows -> list, iteration order.
         return [flows[i] for i in range(self.num_iters)]
 

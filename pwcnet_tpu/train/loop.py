@@ -133,7 +133,8 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
     # is a fresh draw already) and no host loader at all.
     step_fn = make_train_step(model, tx,
                               aug=None if use_devgen else cfg.data.augment,
-                              loss_kind=cfg.train.loss, mesh=mesh)
+                              loss_kind=cfg.train.loss, mesh=mesh,
+                              level_weights=cfg.train.level_weights)
 
     if use_devgen:
         from pwcnet_tpu.data.synthetic import make_device_batcher

@@ -27,14 +27,16 @@ from pwcnet_tpu.parallel import DATA_AXIS
 from pwcnet_tpu.train.state import TrainState
 
 
-def _make_loss(loss_kind: str, model) -> Callable:
+def _make_loss(loss_kind: str, model, level_weights=None) -> Callable:
     """loss(flows, gt, valid) for the model family / loss kind."""
+    from pwcnet_tpu.losses import LEVEL_WEIGHTS
+    weights = tuple(level_weights) if level_weights else LEVEL_WEIGHTS
     if loss_kind == "multiscale":
         return lambda flows, gt, v: multiscale_loss(
-            flows, gt, v, flow_scale=model.flow_scale)
+            flows, gt, v, weights=weights, flow_scale=model.flow_scale)
     if loss_kind == "robust":
         return lambda flows, gt, v: robust_loss(
-            flows, gt, v, flow_scale=model.flow_scale)
+            flows, gt, v, weights=weights, flow_scale=model.flow_scale)
     if loss_kind == "sequence":  # RAFT per-iteration loss
         return sequence_loss
     raise ValueError(f"unknown loss kind {loss_kind!r}")
@@ -43,15 +45,16 @@ def _make_loss(loss_kind: str, model) -> Callable:
 def make_train_step(model, tx: optax.GradientTransformation,
                     aug: Optional[AugmentConfig] = None,
                     loss_kind: str = "multiscale",
-                    mesh=None) -> Callable[[TrainState, Dict[str, Any]],
-                                           tuple]:
+                    mesh=None, level_weights=None
+                    ) -> Callable[[TrainState, Dict[str, Any]],
+                                  tuple]:
     """Build the jitted train step (PWCNet or RAFT family).
 
     batch: dict of f32 arrays — im1, im2 (N,H,W,3), flow (N,H,W,2),
     valid (N,H,W); N is the global batch (sharded over ``data`` when a mesh
     is given). Returns (new_state, metrics).
     """
-    loss_fn_inner = _make_loss(loss_kind, model)
+    loss_fn_inner = _make_loss(loss_kind, model, level_weights)
     distributed = mesh is not None
 
     def local_step(state: TrainState, batch: Dict[str, Any]):

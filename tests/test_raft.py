@@ -130,3 +130,19 @@ def test_overfit(rng):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < 0.35 * losses[0], losses[::10]
+
+
+def test_inference_mode_single_upsample(rng):
+    """train=False keeps the scan coarse and upsamples only the final
+    iteration — must equal the train-mode path's last flow exactly."""
+    model = RAFT(num_iters=3, corr_radius=2)
+    im1, im2 = _inputs(rng, h=64, w=96)
+    params = jax.jit(model.init)(jax.random.key(0), im1, im2)
+    f_train = jax.jit(lambda p, a, b: model.apply(p, a, b, train=True))(
+        params, im1, im2)
+    f_infer = jax.jit(lambda p, a, b: model.apply(p, a, b, train=False))(
+        params, im1, im2)
+    assert len(f_infer) == 1
+    assert f_infer[0].shape == (1, 64, 96, 2)
+    np.testing.assert_allclose(np.asarray(f_infer[0]),
+                               np.asarray(f_train[-1]), atol=1e-5)
