@@ -172,6 +172,11 @@ class PWCNet(nn.Module):
     input_center: bool = False   # PARITY.md row 18: [0,1] -> [-1,1]
     corr_backend: str = "lax"
     stem_backend: str = "auto"
+    # Per-level pixel-count crossover for the fused warp+corr dispatch
+    # (None = the measured v5e default, warp_corr_kernel.FUSED_MIN_PIXELS;
+    # a real config knob so other chip generations can re-tune it and the
+    # multichip dryrun can exercise the fused route at toy shapes).
+    fused_min_pixels: Any = None
     flow_scale: float = 20.0
     resize_mode: str = "half_pixel"  # PARITY.md row 9 (| 'align_corners')
     spatial_axis: Any = None
@@ -249,9 +254,11 @@ class PWCNet(nn.Module):
                 corr = warp_corr_spatial(
                     f1, f2, pix, max_displacement=self.search_range,
                     halo_rows=self.spatial_halo, axis=self.spatial_axis,
-                    backend=self.corr_backend)
+                    backend=self.corr_backend,
+                    fused_min_pixels=self.fused_min_pixels)
             elif (pix is not None and self.corr_backend == "fused"
-                  and _fused_ok(f1.shape[1], f1.shape[2])):
+                  and _fused_ok(f1.shape[1], f1.shape[2],
+                                self.fused_min_pixels)):
                 # Single-kernel warp+corr: the warped tensor never leaves
                 # VMEM (ops/pallas/warp_corr_kernel.py). Only at levels
                 # large enough to win (measured crossover, see

@@ -47,7 +47,7 @@ import jax.numpy as jnp
 #                random-destination scatter into (sort small keys +
 #                sequential-ish gather + sorted accumulate).
 # All three are numerically exact (scatter-add reassociation only).
-WARP_BWD = os.environ.get("PWCNET_WARP_BWD", "autodiff")
+WARP_BWD = os.environ.get("PWCNET_WARP_BWD", "scatter")
 
 # Corner extraction from the gathered 4C-wide rows (profile_r4 found the
 # (n,h,w,4,c) 5-D reshape gets an off-standard T(4,128) tiling, forcing
@@ -56,7 +56,7 @@ WARP_BWD = os.environ.get("PWCNET_WARP_BWD", "autodiff")
 #   'reshape5d' — r1-r4 formulation: reshape to (..., 4, c), index axis 3.
 #   'slice'     — keep (..., 4c) (a pure bitcast off the gather) and take
 #                 four c-wide lane slices; exact same values.
-WARP_SPLIT = os.environ.get("PWCNET_WARP_SPLIT", "reshape5d")
+WARP_SPLIT = os.environ.get("PWCNET_WARP_SPLIT", "slice")
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))

@@ -156,7 +156,8 @@ def warp_corr_spatial(f1: jax.Array, f2: jax.Array,
                       max_displacement: int = 4,
                       halo_rows: int = 16,
                       axis: str = SPATIAL_AXIS,
-                      backend: str = "pallas") -> jax.Array:
+                      backend: str = "pallas",
+                      fused_min_pixels: Optional[int] = None) -> jax.Array:
     """Spatially-sharded warp + correlation (shard_map + ppermute halo).
 
     Call with GLOBAL arrays from inside a GSPMD-jitted forward under
@@ -185,7 +186,8 @@ def warp_corr_spatial(f1: jax.Array, f2: jax.Array,
         # (65536 px/shard). Tests exercise the fused island by lowering
         # FUSED_MIN_PIXELS.
         if (flow_l is not None and backend == "fused"
-                and fused_is_profitable(t, f1_l.shape[2])):
+                and fused_is_profitable(t, f1_l.shape[2],
+                                        fused_min_pixels)):
             # Fused blend+corr on the halo-extended rows: the corner
             # gather (with global-coordinate masks) runs in XLA, the
             # bilinear blend + 81-tap correlation in one Pallas kernel
