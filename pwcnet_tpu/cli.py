@@ -49,7 +49,8 @@ def cmd_eval(args) -> int:
     cfg = _load_cfg(args)
     model = build_model(cfg)
     ds_kw = ({"hw": cfg.data.sample_hw,
-              "regime": cfg.data.synthetic_regime}
+              "regime": cfg.data.synthetic_regime,
+              "val_length": cfg.data.synthetic_val_length}
              if cfg.data.name == "synthetic" else {})
     ds = get_dataset(cfg.data.name, cfg.data.root, split=args.split, **ds_kw)
     dummy = np.zeros((1, 64, 64, 3), np.float32)

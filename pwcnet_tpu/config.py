@@ -65,6 +65,9 @@ class DataConfig:
     # convention-proof setting) | "hard" (displacements to ~100 px + a
     # second moving layer with real occlusions).
     synthetic_regime: str = "smooth"
+    # Synthetic val-split size (>= eval_limit; 512 backs the r5
+    # sample-stderr eval protocol).
+    synthetic_val_length: int = 512
     augment: AugmentConfig = field(default_factory=AugmentConfig)
 
 

@@ -90,7 +90,8 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> dict:
     # The synthetic dataset takes its sample size from the config (file
     # datasets get theirs from the files + host collation).
     ds_kw = ({"hw": cfg.data.sample_hw,
-              "regime": cfg.data.synthetic_regime}
+              "regime": cfg.data.synthetic_regime,
+              "val_length": cfg.data.synthetic_val_length}
              if cfg.data.name == "synthetic" else {})
     train_ds = (None if use_devgen else
                 get_dataset(cfg.data.name, cfg.data.root, split="train",
