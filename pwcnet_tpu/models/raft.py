@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from pwcnet_tpu.models.layers import leaky_relu
 from pwcnet_tpu.models.pwcnet import resize_to
 from pwcnet_tpu.ops.cost_volume import cost_volume
-from pwcnet_tpu.ops.warp import warp_bilinear
+from pwcnet_tpu.ops.warp import warp_bilinear_from_table, warp_table
 
 
 class ResBlock(nn.Module):
@@ -199,17 +199,32 @@ class RAFT(nn.Module):
                            name="mask_head_2")
 
         d = self.corr_radius
+        # The warp gather tables depend only on the (loop-constant)
+        # frame-2 features: build them ONCE here. XLA does not hoist the
+        # pad/concat construction out of the scan body by itself
+        # (profile_r5: ~0.27 ms/iteration of in-loop table building).
+        tab_f2 = warp_table(f2)
+        tab_f2h = warp_table(f2h)
 
         def lookup(flow):
             """Two-scale local correlation at the current flow estimate
             (shares the PWC-Net cost-volume kernel)."""
-            w2 = warp_bilinear(f2, flow)
+            w2 = warp_bilinear_from_table(tab_f2, f2.shape, flow)
             c0 = cost_volume(f1, w2, max_displacement=d,
                              backend=self.corr_backend)
-            w2h = warp_bilinear(f2h, flow[:, ::2, ::2] * 0.5)
+            w2h = warp_bilinear_from_table(tab_f2h, f2h.shape,
+                                           flow[:, ::2, ::2] * 0.5)
             c1 = cost_volume(f1h, w2h, max_displacement=d,
                              backend=self.corr_backend)
-            c1_up = jnp.repeat(jnp.repeat(c1, 2, axis=1), 2, axis=2)
+            # 2x nearest upsample as broadcast+reshape: jnp.repeat lowers
+            # to per-channel gathers here, which made XLA materialize the
+            # concat below as 162 single-channel copies (5.8 ms/frame =
+            # 33% of RAFT inference device time, profile_r5.json
+            # concatenate.163).
+            n_, hh, hw_, cc = c1.shape
+            c1_up = jnp.broadcast_to(
+                c1[:, :, None, :, None, :], (n_, hh, 2, hw_, 2, cc)
+            ).reshape(n_, 2 * hh, 2 * hw_, cc)
             return leaky_relu(jnp.concatenate([c0, c1_up], axis=-1))
 
         def upsample(hidden, flow):

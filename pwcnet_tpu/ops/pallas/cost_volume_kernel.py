@@ -39,6 +39,7 @@ kernel's ``top_channel`` layout: ``k = (dy + d) * (2d + 1) + (dx + d)``.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -291,18 +292,34 @@ def _cv_fwd(f1, f2, d, interpret):
     return _corr_forward_pallas(f1, f2, d, interpret), (f1, f2)
 
 
-# Below this many pixels (post-packing shape), the hand-written backward
-# kernels are grid/launch-bound and XLA's autodiff of the lax forward is
-# faster (roofline r4: L6 at batch 1, 53 us pallas vs 8 us lax; L5 2x).
-# Routing the backward only — the pallas forward still wins at every
-# level. Value chosen at the measured L4/L5 crossover.
-BWD_LAX_MAX_PIXELS = 1024
+# Below this many pixels (post-packing shape), route the BACKWARD to lax
+# autodiff. r4 set 1024 from isolated rooflines (L6 batch-1: 53 us pallas
+# vs 8 us lax) — but the full-graph r5 profile measured that routing at
+# **+2.2 ms/step** on the batch-8 train graph (corr_bwd 3906 -> 6061 us,
+# profile_r5 vs r4; XLA's 81-tap pad+add autodiff schedules terribly in
+# the full graph, the same isolated-vs-full inversion as the forward
+# note below and stem_backward_r3). Disabled by default; kept as an env
+# knob for single-sample training experiments.
+BWD_LAX_MAX_PIXELS = int(os.environ.get("PWCNET_CORR_BWD_LAX_MAX_PX", "0"))
+
+
+def _bwd_tile_fits(w: int, c: int, d: int, itemsize: int) -> bool:
+    side = 2 * d + 1
+    item = 4 if CORR_BWD_COMPUTE_DTYPE == "f32" else itemsize
+    return _pick_tile(w, side * side + c, c, d, item) is not None
 
 
 def _cv_bwd(d, interpret, res, g):
     f1, f2 = res
     n, h, w, c = f1.shape
-    if h * w <= BWD_LAX_MAX_PIXELS:
+    if ((BWD_LAX_MAX_PIXELS and h * w <= BWD_LAX_MAX_PIXELS)
+            or not _bwd_tile_fits(w, c, d, f1.dtype.itemsize)):
+        # lax-autodiff backward: the tiny-shape env knob, or shapes whose
+        # backward tile overflows VMEM (e.g. RAFT's C=128 fine scale with
+        # f32 streams). The FORWARD stays Pallas either way — r5 measured
+        # the old all-or-nothing fallback at 7.4 ms/frame on RAFT
+        # inference (lax's 81 per-channel outputs force a scalarized
+        # 162-way concat downstream; profile_r5 concatenate.163).
         from pwcnet_tpu.ops.cost_volume import cost_volume_lax
         _, vjp = jax.vjp(lambda a, b: cost_volume_lax(a, b, d), f1, f2)
         return vjp(g.astype(f1.dtype))  # cotangent dtype = lax out dtype
@@ -401,25 +418,21 @@ def cost_volume_pallas(f1: jax.Array, f2: jax.Array, *,
         # wrappers (their transposes are slices/transposes — cheap).
         fp1, fp2 = _pack_width(f1, d), _pack_width(f2, d)
         wp = fp1.shape[2]
-        fwd_ok = _pick_tile(wp, c, side * side, d,
-                            f1.dtype.itemsize) is not None
-        bwd_item = (4 if CORR_BWD_COMPUTE_DTYPE == "f32"
-                    else f1.dtype.itemsize)
-        bwd_ok = _pick_tile(wp, side * side + c, c, d,
-                            bwd_item) is not None
-        if fwd_ok and bwd_ok:
+        if _pick_tile(wp, c, side * side, d,
+                      f1.dtype.itemsize) is not None:
             out = _cost_volume_pallas(fp1, fp2, d, interpret)
             return _unpack_width(out, n, w, d)
-    # Both forward and backward tiles must fit VMEM (training uses both).
+    # Dispatch on the FORWARD tile only; when the backward tile overflows
+    # VMEM the custom_vjp backward falls back to lax autodiff per
+    # direction (_cv_bwd). The old all-or-nothing requirement cost RAFT
+    # inference 7.4 ms/frame (profile_r5: its C=128 fine-scale corr
+    # failed the backward check and the lax FORWARD's 81 per-channel
+    # outputs forced a scalarized 162-way concat).
     # NOTE: standalone microbenchmarks suggest lax wins at small widths
     # (idle lanes), but in the full model routing small levels to lax was
     # measured 25% SLOWER end-to-end on v5e (398 -> 307 fps at Sintel res)
     # — scheduling/fusion effects dominate; keep the kernel everywhere.
-    bwd_item = (4 if CORR_BWD_COMPUTE_DTYPE == "f32"
-                else f1.dtype.itemsize)
-    fwd_ok = _pick_tile(w, c, side * side, d, f1.dtype.itemsize) is not None
-    bwd_ok = _pick_tile(w, side * side + c, c, d, bwd_item) is not None
-    if not (fwd_ok and bwd_ok):
+    if _pick_tile(w, c, side * side, d, f1.dtype.itemsize) is None:
         from pwcnet_tpu.ops.cost_volume import cost_volume_lax
         return cost_volume_lax(f1, f2, d)
     return _cost_volume_pallas(f1, f2, d, interpret)

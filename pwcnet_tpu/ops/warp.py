@@ -109,6 +109,10 @@ _gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 def _sample_coords(feat: jax.Array, flow: jax.Array):
     n, h, w, _ = feat.shape
+    return _sample_coords_hw(n, h, w, flow)
+
+
+def _sample_coords_hw(n: int, h: int, w: int, flow: jax.Array):
     fx = flow[..., 0].astype(jnp.float32)
     fy = flow[..., 1].astype(jnp.float32)
     xs = jax.lax.broadcasted_iota(jnp.float32, (n, h, w), 2) + fx
@@ -131,6 +135,27 @@ def _corner_masks(x0, y0, h: int, w: int):
             inb_y1 * inb_x0, inb_y1 * inb_x1)
 
 
+def warp_table(feat: jax.Array) -> jax.Array:
+    """Precompute the warp's 4-corner gather table for ``feat``.
+
+    Flow-independent — callers that warp the SAME features repeatedly
+    with different flows (RAFT's per-iteration lookup) build this once
+    outside the loop; XLA does not hoist the pad/concat chain out of a
+    ``lax.scan`` body on its own (measured r5: the in-loop construction
+    cost ~0.27 ms/iteration at RAFT's 1/8-scale shapes).
+
+    Returns (N, (H+2)*(W+2), 4C): channel block k holds the
+    (dy, dx) = (k//2, k%2) corner neighbor of each 1-px-zero-ring-padded
+    pixel. The rolls never wrap into gathered positions because gather
+    rows/columns are clipped to <= padded_size - 2.
+    """
+    n, h, w, c = feat.shape
+    fp = jnp.pad(feat, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    tx = jnp.concatenate([fp, jnp.roll(fp, -1, axis=2)], axis=-1)
+    txy = jnp.concatenate([tx, jnp.roll(tx, -1, axis=1)], axis=-1)
+    return txy.reshape(n, (h + 2) * (w + 2), 4 * c)
+
+
 def warp_bilinear(feat: jax.Array, flow: jax.Array) -> jax.Array:
     """Backward-warp ``feat`` by ``flow`` (production single-gather path).
 
@@ -143,19 +168,17 @@ def warp_bilinear(feat: jax.Array, flow: jax.Array) -> jax.Array:
       (N, H, W, C): ``out[n, y, x] ≈ feat[n, y + v, x + u]`` bilinearly
       interpolated, zero outside, with the reference's ones-mask applied.
     """
-    n, h, w, c = feat.shape
-    dtype = feat.dtype
-    x0, y0, wx, wy = _sample_coords(feat, flow)
+    return warp_bilinear_from_table(warp_table(feat), feat.shape, flow,
+                                    feat.dtype)
 
-    # 4-corner table over a 1-px zero ring: channel block k holds the
-    # (dy, dx) = (k//2, k%2) corner neighbor of each padded pixel. The
-    # rolls never wrap into gathered positions because gather columns/rows
-    # are clipped to <= padded_size - 2.
-    fp = jnp.pad(feat, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+def warp_bilinear_from_table(flat: jax.Array, feat_shape, flow: jax.Array,
+                             dtype=None) -> jax.Array:
+    """:func:`warp_bilinear` given a precomputed :func:`warp_table`."""
+    n, h, w, c = feat_shape
+    dtype = flat.dtype if dtype is None else dtype
     hp, wp = h + 2, w + 2
-    tx = jnp.concatenate([fp, jnp.roll(fp, -1, axis=2)], axis=-1)
-    txy = jnp.concatenate([tx, jnp.roll(tx, -1, axis=1)], axis=-1)
-    flat = txy.reshape(n, hp * wp, 4 * c)
+    x0, y0, wx, wy = _sample_coords_hw(n, h, w, flow)
 
     xc = jnp.clip(x0 + 1, 0, wp - 2).astype(jnp.int32)
     yc = jnp.clip(y0 + 1, 0, hp - 2).astype(jnp.int32)

@@ -107,13 +107,15 @@ def test_batch_width_packing_matches_lax_forward_and_grads():
                                    atol=3e-5, rtol=3e-5)
 
 
-def test_small_shape_backward_routes_to_lax_and_matches():
-    """r4 BWD_LAX_MAX_PIXELS routing: tiny shapes take the lax backward
-    (roofline r4: grid-bound pallas bwd loses 2-6x there); grads must be
+def test_small_shape_backward_lax_route_matches(monkeypatch):
+    """The BWD_LAX_MAX_PIXELS env knob (default OFF since r5: the r4
+    routing measured +2.2 ms/step in the full graph, profile_r5) still
+    routes tiny-shape backwards to lax when enabled; grads must be
     identical to the pallas backward path, bf16 included."""
     from pwcnet_tpu.ops.cost_volume import cost_volume_lax
     from pwcnet_tpu.ops.pallas import cost_volume_kernel as cvk
 
+    monkeypatch.setattr(cvk, "BWD_LAX_MAX_PIXELS", 1024)
     rng = np.random.default_rng(11)
     n, h, w, c, d = 1, 8, 16, 196, 4  # level-6-like; h*w=128 <= threshold
     assert h * w <= cvk.BWD_LAX_MAX_PIXELS
@@ -136,3 +138,38 @@ def test_small_shape_backward_routes_to_lax_and_matches():
             np.testing.assert_allclose(
                 np.asarray(a, np.float32), np.asarray(b, np.float32),
                 atol=tol, rtol=tol)
+
+
+def test_big_channel_forward_pallas_bwd_fallback():
+    """Shapes whose BACKWARD tile overflows VMEM (RAFT's C=128 fine
+    scale at W>=128 with f32 streams) still run the Pallas FORWARD, and
+    the lax-autodiff backward fallback produces oracle-exact grads."""
+    from pwcnet_tpu.ops.cost_volume import cost_volume_lax
+    from pwcnet_tpu.ops.pallas import cost_volume_kernel as cvk
+
+    n, h, w, c, d = 1, 16, 128, 128, 4
+    assert not cvk._bwd_tile_fits(w, c, d, 2)
+    rng = np.random.default_rng(3)
+    f1 = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.bfloat16)
+    f2 = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.bfloat16)
+
+    out_p = cvk.cost_volume_pallas(f1, f2, max_displacement=d)
+    out_l = cost_volume_lax(f1, f2, d)
+    np.testing.assert_allclose(np.asarray(out_p, np.float32),
+                               np.asarray(out_l, np.float32),
+                               atol=2e-2, rtol=2e-2)
+
+    def loss_p(a, b):
+        return jnp.sum(jnp.sin(cvk.cost_volume_pallas(
+            a, b, max_displacement=d).astype(jnp.float32)))
+
+    def loss_l(a, b):
+        return jnp.sum(jnp.sin(cost_volume_lax(
+            a, b, d).astype(jnp.float32)))
+
+    gp = jax.jit(jax.grad(loss_p, argnums=(0, 1)))(f1, f2)
+    gl = jax.jit(jax.grad(loss_l, argnums=(0, 1)))(f1, f2)
+    for a, b in zip(gp, gl):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=2e-2, rtol=2e-2)
