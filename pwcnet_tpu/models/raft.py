@@ -208,14 +208,18 @@ class RAFT(nn.Module):
 
         def lookup(flow):
             """Two-scale local correlation at the current flow estimate
-            (shares the PWC-Net cost-volume kernel)."""
+            (shares the PWC-Net cost-volume kernel). bwd='lax': the
+            in-scan W/8-wide C=128 backward kernels are idle-lane-bound
+            here — measured 3.1 ms/step slower than lax autodiff at
+            256x256 b4 (the opposite of the PWC train graph; see
+            cost_volume docstring)."""
             w2 = warp_bilinear_from_table(tab_f2, f2.shape, flow)
             c0 = cost_volume(f1, w2, max_displacement=d,
-                             backend=self.corr_backend)
+                             backend=self.corr_backend, bwd="lax")
             w2h = warp_bilinear_from_table(tab_f2h, f2h.shape,
                                            flow[:, ::2, ::2] * 0.5)
             c1 = cost_volume(f1h, w2h, max_displacement=d,
-                             backend=self.corr_backend)
+                             backend=self.corr_backend, bwd="lax")
             # 2x nearest upsample as broadcast+reshape: jnp.repeat lowers
             # to per-channel gathers here, which made XLA materialize the
             # concat below as 162 single-channel copies (5.8 ms/frame =

@@ -283,12 +283,12 @@ def _corr_backward_pallas(f1: jax.Array, f2: jax.Array, g: jax.Array,
 # custom_vjp wiring + public entry point
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _cost_volume_pallas(f1, f2, d, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _cost_volume_pallas(f1, f2, d, interpret, bwd="auto"):
     return _corr_forward_pallas(f1, f2, d, interpret)
 
 
-def _cv_fwd(f1, f2, d, interpret):
+def _cv_fwd(f1, f2, d, interpret, bwd):
     return _corr_forward_pallas(f1, f2, d, interpret), (f1, f2)
 
 
@@ -309,10 +309,11 @@ def _bwd_tile_fits(w: int, c: int, d: int, itemsize: int) -> bool:
     return _pick_tile(w, side * side + c, c, d, item) is not None
 
 
-def _cv_bwd(d, interpret, res, g):
+def _cv_bwd(d, interpret, bwd, res, g):
     f1, f2 = res
     n, h, w, c = f1.shape
-    if ((BWD_LAX_MAX_PIXELS and h * w <= BWD_LAX_MAX_PIXELS)
+    if (bwd == "lax"
+            or (BWD_LAX_MAX_PIXELS and h * w <= BWD_LAX_MAX_PIXELS)
             or not _bwd_tile_fits(w, c, d, f1.dtype.itemsize)):
         # lax-autodiff backward: the tiny-shape env knob, or shapes whose
         # backward tile overflows VMEM (e.g. RAFT's C=128 fine scale with
@@ -398,7 +399,8 @@ def _unpack_width(out: jax.Array, n: int, w: int, d: int) -> jax.Array:
 
 def cost_volume_pallas(f1: jax.Array, f2: jax.Array, *,
                        max_displacement: int = 4,
-                       interpret: bool | None = None) -> jax.Array:
+                       interpret: bool | None = None,
+                       bwd: str = "auto") -> jax.Array:
     """Pallas cost volume; falls back to the lax path for oversized inputs.
 
     ``interpret=None`` auto-selects interpreter mode off-TPU so the same
@@ -418,9 +420,15 @@ def cost_volume_pallas(f1: jax.Array, f2: jax.Array, *,
         # wrappers (their transposes are slices/transposes — cheap).
         fp1, fp2 = _pack_width(f1, d), _pack_width(f2, d)
         wp = fp1.shape[2]
-        if _pick_tile(wp, c, side * side, d,
-                      f1.dtype.itemsize) is not None:
-            out = _cost_volume_pallas(fp1, fp2, d, interpret)
+        # The packed branch keeps the r4 both-directions requirement: the
+        # forward _pick_tile estimate under-counts Mosaic's actual kernel
+        # stack at packed big-C shapes (measured r5: packed L5
+        # bf16[1,128,12,176] compiles to an 18.2M stack vs the 16M scoped
+        # limit), and every r4-proven packed config satisfied both checks.
+        if (_pick_tile(wp, c, side * side, d,
+                       f1.dtype.itemsize) is not None
+                and _bwd_tile_fits(wp, c, d, f1.dtype.itemsize)):
+            out = _cost_volume_pallas(fp1, fp2, d, interpret, bwd)
             return _unpack_width(out, n, w, d)
     # Dispatch on the FORWARD tile only; when the backward tile overflows
     # VMEM the custom_vjp backward falls back to lax autodiff per
@@ -435,4 +443,4 @@ def cost_volume_pallas(f1: jax.Array, f2: jax.Array, *,
     if _pick_tile(w, c, side * side, d, f1.dtype.itemsize) is None:
         from pwcnet_tpu.ops.cost_volume import cost_volume_lax
         return cost_volume_lax(f1, f2, d)
-    return _cost_volume_pallas(f1, f2, d, interpret)
+    return _cost_volume_pallas(f1, f2, d, interpret, bwd)
