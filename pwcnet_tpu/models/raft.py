@@ -72,19 +72,36 @@ class RAFTEncoder(nn.Module):
 
 
 class SepConvGRU(nn.Module):
-    """RAFT's separable ConvGRU: a 1x5 pass then a 5x1 pass."""
+    """RAFT's separable ConvGRU: a 1x5 pass then a 5x1 pass.
+
+    The z and r gates read the SAME input, so their convs are one conv
+    with concatenated output channels (a convolution is linear in its
+    output-channel axis — bitwise-identical math given [Wz | Wr]).
+    ``fuse_zr=False`` keeps the textbook two-conv form for A/B timing
+    (``benchmarks/gru_fuse_ab.py``); exact equivalence under kernel
+    concatenation is pinned by tests/test_raft.py.
+    """
 
     hidden: int = 96
     dtype: Any = jnp.float32
+    # Default decided by the measured interleaved A/B
+    # (benchmarks/gru_fuse_ab.py); exactness is not at stake either way.
+    fuse_zr: bool = False
 
     @nn.compact
     def __call__(self, h, x):
         for ks in [(1, 5), (5, 1)]:
             hx = jnp.concatenate([h, x], axis=-1)
-            z = nn.sigmoid(nn.Conv(self.hidden, ks, padding="SAME",
-                                   dtype=self.dtype)(hx))
-            r = nn.sigmoid(nn.Conv(self.hidden, ks, padding="SAME",
-                                   dtype=self.dtype)(hx))
+            if self.fuse_zr:
+                zr = nn.Conv(2 * self.hidden, ks, padding="SAME",
+                             dtype=self.dtype)(hx)
+                z = nn.sigmoid(zr[..., :self.hidden])
+                r = nn.sigmoid(zr[..., self.hidden:])
+            else:
+                z = nn.sigmoid(nn.Conv(self.hidden, ks, padding="SAME",
+                                       dtype=self.dtype)(hx))
+                r = nn.sigmoid(nn.Conv(self.hidden, ks, padding="SAME",
+                                       dtype=self.dtype)(hx))
             q = nn.tanh(nn.Conv(self.hidden, ks, padding="SAME",
                                 dtype=self.dtype)(
                 jnp.concatenate([r * h, x], axis=-1)))
@@ -157,6 +174,7 @@ class RAFT(nn.Module):
     hidden: int = 96
     context: int = 64
     corr_backend: str = "lax"
+    gru_fuse_zr: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -185,7 +203,8 @@ class RAFT(nn.Module):
         hidden = hidden.astype(self.dtype)
         context = leaky_relu(ctx[..., self.hidden:])
 
-        gru = SepConvGRU(hidden=self.hidden, dtype=self.dtype)
+        gru = SepConvGRU(hidden=self.hidden, dtype=self.dtype,
+                         fuse_zr=self.gru_fuse_zr)
         menc = MotionEncoder(dtype=self.dtype)
         head_hidden = nn.Conv(128, (3, 3), padding="SAME", dtype=self.dtype,
                               name="flow_head_1")

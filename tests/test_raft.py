@@ -132,6 +132,32 @@ def test_overfit(rng):
     assert losses[-1] < 0.35 * losses[0], losses[::10]
 
 
+def test_gru_zr_fusion_exact(rng):
+    """The fused z/r conv is the two textbook convs with concatenated
+    kernels: map unfused params into the fused tree and the outputs must
+    match to fp tolerance (conv is linear in output channels)."""
+    from pwcnet_tpu.models.raft import SepConvGRU
+
+    h = jnp.asarray(rng.normal(size=(2, 8, 12, 96)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(2, 8, 12, 160)), jnp.float32)
+    unfused = SepConvGRU(hidden=96, fuse_zr=False)
+    fused = SepConvGRU(hidden=96, fuse_zr=True)
+    pu = unfused.init(jax.random.key(0), h, x)["params"]
+
+    def cat(a, b):
+        return {"kernel": jnp.concatenate([a["kernel"], b["kernel"]], -1),
+                "bias": jnp.concatenate([a["bias"], b["bias"]], -1)}
+
+    pf = {"params": {
+        "Conv_0": cat(pu["Conv_0"], pu["Conv_1"]), "Conv_1": pu["Conv_2"],
+        "Conv_2": cat(pu["Conv_3"], pu["Conv_4"]), "Conv_3": pu["Conv_5"],
+    }}
+    out_u = unfused.apply({"params": pu}, h, x)
+    out_f = fused.apply(pf, h, x)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_inference_mode_single_upsample(rng):
     """train=False keeps the scan coarse and upsamples only the final
     iteration — must equal the train-mode path's last flow exactly."""
