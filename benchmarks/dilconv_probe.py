@@ -103,6 +103,79 @@ def main() -> int:
             print(f"{name} {label}: {us:.1f} us", flush=True)
         report[name] = row
 
+    # ---- end-to-end interleaved A/B: the model flag (context_s2b) ----
+    # Isolated-op rankings have flipped in the full graph before (stem
+    # backward, r4); the promotion decision uses these numbers.
+    from pwcnet_tpu.models import PWCNet
+    from pwcnet_tpu.train.schedule import S_LONG, make_optimizer
+    from pwcnet_tpu.train.state import TrainState
+    from pwcnet_tpu.train.step import make_train_step
+
+    ih, iw = 448, 1024
+    i1 = jnp.asarray(rng.random((1, ih, iw, 3)), jnp.float32)
+    i2 = jnp.asarray(rng.random((1, ih, iw, 3)), jnp.float32)
+    infer = {}
+    for label, flag in (("native", False), ("s2b", True)):
+        m = PWCNet(corr_backend="pallas", context_s2b=flag,
+                   dtype=jnp.bfloat16)
+        p = jax.jit(m.init)(jax.random.key(0), i1, i2)
+        fn = jax.jit(lambda p, a, b, m=m: jnp.sum(
+            m.full_res_flow(m.apply(p, a, b, train=False), (ih, iw))))
+        float(fn(p, i1, i2))
+        infer[label] = (fn, p)
+        print(f"compiled e2e infer/{label}", flush=True)
+    CHAIN = 16
+    times = {k: [] for k in infer}
+    for rep in range(args.reps):
+        for label, (fn, p) in infer.items():
+            t0 = time.perf_counter()
+            for _ in range(CHAIN):
+                r = fn(p, i1, i2)
+            float(r)
+            times[label].append((time.perf_counter() - t0) / CHAIN)
+    report["e2e_inference_448x1024_b1"] = {
+        k: {"us_median": float(np.median(np.asarray(ts[2:])) * 1e6)}
+        for k, ts in times.items()}
+    for k, v in report["e2e_inference_448x1024_b1"].items():
+        print(f"e2e infer {k}: {v['us_median']:.0f} us", flush=True)
+
+    bh, bw, bs = 384, 448, 8
+    batch = {
+        "im1": jnp.asarray(rng.random((bs, bh, bw, 3)), jnp.float32),
+        "im2": jnp.asarray(rng.random((bs, bh, bw, 3)), jnp.float32),
+        "flow": jnp.asarray(rng.standard_normal((bs, bh, bw, 2)),
+                            jnp.float32),
+        "valid": jnp.ones((bs, bh, bw), jnp.float32),
+    }
+    tx = make_optimizer(S_LONG)
+    train = {}
+    for label, flag in (("native", False), ("s2b", True)):
+        m = PWCNet(corr_backend="pallas", context_s2b=flag,
+                   dtype=jnp.bfloat16)
+        p = jax.jit(m.init)(jax.random.key(0), batch["im1"][:1],
+                            batch["im2"][:1])
+        step = make_train_step(m, tx, aug=None)
+        state = TrainState.create(p, tx, jax.random.key(1))
+        state, mm = step(state, batch)
+        float(mm["loss"])
+        train[label] = (step, state)
+        print(f"compiled e2e train/{label}", flush=True)
+    CHAIN = 5
+    times = {k: [] for k in train}
+    for rep in range(args.reps):
+        for label, (step, state) in train.items():
+            t0 = time.perf_counter()
+            for _ in range(CHAIN):
+                state, mm = step(state, batch)
+            float(mm["loss"])
+            times[label].append((time.perf_counter() - t0) / CHAIN)
+            train[label] = (step, state)
+    report["e2e_train_384x448_b8"] = {
+        k: {"ms_median": float(np.median(np.asarray(ts[2:])) * 1e3)}
+        for k, ts in times.items()}
+    for k, v in report["e2e_train_384x448_b8"].items():
+        print(f"e2e train {k}: {v['ms_median']:.2f} ms", flush=True)
+
     out = os.path.join(os.path.dirname(__file__), "results",
                        "dilconv_r5.json")
     with open(out, "w") as f:

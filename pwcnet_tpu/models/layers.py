@@ -19,25 +19,53 @@ def leaky_relu(x: jax.Array) -> jax.Array:
 
 
 class ConvBlock(nn.Module):
-    """3x3 conv (+optional stride/dilation) -> optional norm -> LeakyReLU."""
+    """3x3 conv (+optional stride/dilation) -> optional norm -> LeakyReLU.
+
+    ``s2b=True`` lowers a dilated conv via space-to-batch: the d*d pixel
+    phases become batch entries, the conv densifies (kernel_dilation=1),
+    and the inverse reshape restores the layout. With H, W divisible by d
+    and SAME zero padding this is EXACT (phase-domain SAME padding hits
+    the same zero taps; pinned in tests/test_model.py), and the param
+    tree is identical either way (same (3,3,ci,co) kernel under the same
+    auto-name), so the flag is a pure lowering choice. Falls back to the
+    native dilated conv when shapes don't divide or stride > 1.
+    Motivation: profile_r4 measured the dil-16 context conv at 21% of
+    MXU peak vs 85-89% for its dil-2/4 siblings; promotion is decided by
+    the measured probe (benchmarks/dilconv_probe.py).
+    """
 
     features: int
     stride: int = 1
     dilation: int = 1
     use_norm: bool = False
+    s2b: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = True) -> jax.Array:
-        x = nn.Conv(
+        d = self.dilation
+        use_s2b = (self.s2b and d > 1 and self.stride == 1
+                   and x.shape[1] % d == 0 and x.shape[2] % d == 0)
+        conv = nn.Conv(
             self.features,
             kernel_size=(3, 3),
             strides=(self.stride, self.stride),
-            kernel_dilation=(self.dilation, self.dilation),
+            kernel_dilation=(1, 1) if use_s2b else (d, d),
             padding="SAME",
             dtype=self.dtype,
             param_dtype=jnp.float32,
-        )(x)
+        )
+        if use_s2b:
+            n, h, w, c = x.shape
+            hb, wb = h // d, w // d
+            xp = x.reshape(n, hb, d, wb, d, c).transpose(
+                0, 2, 4, 1, 3, 5).reshape(n * d * d, hb, wb, c)
+            y = conv(xp)
+            co = y.shape[-1]
+            x = y.reshape(n, d, d, hb, wb, co).transpose(
+                0, 3, 1, 4, 2, 5).reshape(n, h, w, co)
+        else:
+            x = conv(x)
         if self.use_norm:
             # The reference's --batch_norm uses torch BatchNorm2d; we use
             # GroupNorm instead: stateless (no running-stats mutable

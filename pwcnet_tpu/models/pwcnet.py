@@ -122,8 +122,13 @@ class OpticalFlowEstimator(nn.Module):
 
 
 class ContextNetwork(nn.Module):
-    """Dilated-conv refinement head applied at the output level."""
+    """Dilated-conv refinement head applied at the output level.
 
+    ``s2b``: lower the dilated convs via space-to-batch (exact; see
+    ConvBlock) — a dispatch knob for the dil-8/16 layers that XLA's
+    native dilated conv runs at ~21% of MXU peak (profile_r4)."""
+
+    s2b: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -131,7 +136,8 @@ class ContextNetwork(nn.Module):
                  train: bool = True) -> jax.Array:
         x = jnp.concatenate([feat, flow.astype(feat.dtype)], axis=-1)
         for ch, dil in CONTEXT_SPEC:
-            x = ConvBlock(ch, dilation=dil, dtype=self.dtype)(x, train=train)
+            x = ConvBlock(ch, dilation=dil, s2b=self.s2b,
+                          dtype=self.dtype)(x, train=train)
         delta = nn.Conv(2, (3, 3), padding="SAME", dtype=self.dtype,
                         param_dtype=jnp.float32)(x)
         return delta.astype(jnp.float32)
@@ -178,6 +184,10 @@ class PWCNet(nn.Module):
     # multichip dryrun can exercise the fused route at toy shapes).
     fused_min_pixels: Any = None
     flow_scale: float = 20.0
+    # Space-to-batch lowering for the context net's dilated convs (exact;
+    # see ConvBlock.s2b). Default decided by the measured probe
+    # (benchmarks/dilconv_probe.py).
+    context_s2b: bool = False
     resize_mode: str = "half_pixel"  # PARITY.md row 9 (| 'align_corners')
     spatial_axis: Any = None
     spatial_halo: int = 16
@@ -284,7 +294,8 @@ class PWCNet(nn.Module):
 
             if i == self.output_level:
                 flow = flow + ContextNetwork(
-                    dtype=self.dtype, name="context")(feat, flow, train=train)
+                    s2b=self.context_s2b, dtype=self.dtype,
+                    name="context")(feat, flow, train=train)
             flows.append(flow)
         return flows
 

@@ -117,3 +117,38 @@ def test_loss_with_extra_levels(rng):
     loss6 = float(multiscale_loss(flows, gt))
     loss5 = float(multiscale_loss(flows[:5], gt))
     assert loss6 > loss5  # the 6th level contributes
+
+
+def test_context_s2b_exact(rng):
+    """Space-to-batch lowering of the context net's dilated convs is
+    exact: same params (identical tree by construction), same output to
+    fp tolerance, including at dil=8/16 with zero-padded borders."""
+    from pwcnet_tpu.models.layers import ConvBlock
+    from pwcnet_tpu.models.pwcnet import ContextNetwork
+
+    # Single dilated block, both phases of the claim: divisible shapes.
+    x = jnp.asarray(rng.normal(size=(2, 32, 48, 24)), jnp.float32)
+    for dil in (2, 8, 16):
+        native = ConvBlock(16, dilation=dil, s2b=False)
+        s2b = ConvBlock(16, dilation=dil, s2b=True)
+        p = native.init(jax.random.key(dil), x)
+        np.testing.assert_allclose(
+            np.asarray(s2b.apply(p, x)), np.asarray(native.apply(p, x)),
+            rtol=1e-5, atol=1e-5, err_msg=f"dil={dil}")
+
+    # Full context head (concat + 6 blocks + flow conv), f32.
+    feat = jnp.asarray(rng.normal(size=(1, 32, 64, 32)), jnp.float32)
+    flow = jnp.asarray(rng.normal(size=(1, 32, 64, 2)), jnp.float32)
+    pn = ContextNetwork(s2b=False).init(jax.random.key(0), feat, flow)
+    out_n = ContextNetwork(s2b=False).apply(pn, feat, flow)
+    out_s = ContextNetwork(s2b=True).apply(pn, feat, flow)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_n),
+                               rtol=1e-5, atol=1e-5)
+
+    # Non-divisible shapes fall back to the native dilated conv.
+    xo = jnp.asarray(rng.normal(size=(1, 30, 46, 8)), jnp.float32)
+    blk = ConvBlock(8, dilation=8, s2b=True)
+    pb = blk.init(jax.random.key(1), xo)
+    ref = ConvBlock(8, dilation=8, s2b=False).apply(pb, xo)
+    np.testing.assert_allclose(np.asarray(blk.apply(pb, xo)),
+                               np.asarray(ref), rtol=1e-6)
