@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 from pwcnet_tpu.data.augment import AugmentConfig
 from pwcnet_tpu.train.schedule import S_FINE, S_LONG, ScheduleConfig
@@ -45,6 +45,9 @@ class ModelConfig:
     input_center: bool = False        # PARITY row 18: feed [-1,1] images
     corr_backend: str = "pallas"
     stem_backend: str = "auto"        # fused pyramid-stem kernel (levels 1-2)
+    # None = the model's measured default; True/False force the lowering.
+    context_s2b: Any = None           # space-to-batch dilated context convs
+    raft_gru_fuse: Any = None         # fused z/r gate convs in the ConvGRU
     flow_scale: float = 20.0
     resize_mode: str = "half_pixel"   # PARITY row 9: | "align_corners"
     dtype: str = "bfloat16"           # compute dtype: float32|bfloat16
@@ -215,8 +218,15 @@ def _coerce(current, val: str):
     if isinstance(current, str):
         return val
     if current is None:
-        # Optional field with no type witness: parse literals (ints, tuples,
-        # ...), keep unparseable values as strings (paths etc.).
+        # Optional field with no type witness: booleans first (CLI spelling
+        # is lowercase true/false, which ast.literal_eval rejects — and a
+        # surviving "false" string is truthy downstream), then literals
+        # (ints, tuples, ...), keeping unparseable values as strings
+        # (paths etc.).
+        if val.lower() in ("true", "yes"):
+            return True
+        if val.lower() in ("false", "no"):
+            return False
         try:
             return ast.literal_eval(val)
         except (ValueError, SyntaxError):

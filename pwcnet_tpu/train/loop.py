@@ -36,18 +36,31 @@ from pwcnet_tpu.io import flow_to_rgb
 _log = logging.getLogger(__name__)
 
 
+def _flag(v) -> bool:
+    """Robust tri-state-to-bool: accepts bools and the CLI's lowercase
+    string spellings (a raw "false" string is truthy under bool())."""
+    if isinstance(v, str):
+        return v.lower() in ("1", "true", "yes")
+    return bool(v)
+
+
 def build_model(cfg: Config):
     m = cfg.model
     if m.family == "raft":
         from pwcnet_tpu.models.raft import RAFT
+        kw = {} if m.raft_gru_fuse is None else {
+            "gru_fuse_zr": _flag(m.raft_gru_fuse)}
         return RAFT(
             num_iters=m.raft_iters,
             corr_radius=m.raft_radius,
             corr_backend=m.corr_backend,
             dtype=jnp.bfloat16 if m.dtype == "bfloat16" else jnp.float32,
+            **kw,
         )
     if m.family != "pwcnet":
         raise ValueError(f"unknown model family {m.family!r}")
+    kw = {} if m.context_s2b is None else {
+        "context_s2b": _flag(m.context_s2b)}
     return PWCNet(
         num_levels=m.num_levels,
         output_level=m.output_level,
@@ -61,6 +74,7 @@ def build_model(cfg: Config):
         flow_scale=m.flow_scale,
         resize_mode=m.resize_mode,
         dtype=jnp.bfloat16 if m.dtype == "bfloat16" else jnp.float32,
+        **kw,
     )
 
 

@@ -85,3 +85,25 @@ def test_coupled_l2_matches_torch_adam_exactly():
     got = run(coupled=True)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
     assert not np.allclose(run(coupled=False), want, atol=1e-5)
+
+
+def test_override_none_typed_bool_coercion():
+    """Tri-state (None-default) fields parse CLI true/false as real bools —
+    a surviving "false" STRING is truthy and would silently invert the
+    flag downstream."""
+    from pwcnet_tpu.config import PRESETS, apply_overrides
+    from pwcnet_tpu.train.loop import build_model
+
+    base = PRESETS["chairs-1chip"]
+    on = apply_overrides(base, ["model.context_s2b=true"])
+    off = apply_overrides(base, ["model.context_s2b=false"])
+    assert on.model.context_s2b is True
+    assert off.model.context_s2b is False
+    assert build_model(on).context_s2b is True
+    assert build_model(off).context_s2b is False
+    assert build_model(base).context_s2b is False  # module default
+
+    raft = apply_overrides(PRESETS["raft-chairs"],
+                           ["model.raft_gru_fuse=false"])
+    assert raft.model.raft_gru_fuse is False
+    assert build_model(raft).gru_fuse_zr is False
