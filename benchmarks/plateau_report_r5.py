@@ -31,7 +31,10 @@ def curve(d):
         for line in f:
             r = json.loads(line)
             if "val_epe" in r:
-                vals[r["step"]] = r["val_epe"]
+                # (value, stderr) — stderr fields exist from the r5 eval
+                # protocol on; the r4 baseline's metrics predate them.
+                vals[r["step"]] = (r["val_epe"],
+                                   r.get("val_epe_sample_stderr"))
     return vals
 
 
@@ -44,23 +47,29 @@ def main() -> int:
             print(f"skip {name}: no metrics at {d}")
     lines = ["# Hard-regime plateau recipes (r5; VERDICT r4 weak #3)", "",
              "Val EPE (128 samples, eval every 2500 steps) step-aligned vs",
-             "the committed r4 from-scratch baseline. 'breakthrough' = ",
-             "first eval below 30 (off the ~32.5 predict-nothing level).",
+             "the committed r4 from-scratch baseline; ± is the per-sample",
+             "standard error (r5 eval protocol; the r4 baseline's metrics",
+             "predate the stderr fields). 'breakthrough' = first eval",
+             "below 30 (off the ~32.5 predict-nothing level).",
              ""]
     header = "| step | " + " | ".join(curves) + " |"
     lines += [header, "|" + "---|" * (len(curves) + 1)]
+
+    def cell(v):
+        if v is None:
+            return "-"
+        val, se = v
+        return f"{val:.2f} ± {se:.2f}" if se is not None else f"{val:.2f}"
+
     for s in STEPS:
-        row = [f"{s}"]
-        for name in curves:
-            v = curves[name].get(s)
-            row.append(f"{v:.2f}" if v is not None else "-")
-        lines.append("| " + " | ".join(row) + " |")
+        lines.append("| " + " | ".join(
+            [f"{s}"] + [cell(curves[name].get(s)) for name in curves]) + " |")
     lines.append("")
     for name, c in curves.items():
-        bt = next((s for s in sorted(c) if c[s] < 30.0), None)
+        bt = next((s for s in sorted(c) if c[s][0] < 30.0), None)
         lines.append(f"- **{name}**: breakthrough at "
                      f"{bt if bt else '>30000'}"
-                     + (f", final {c[max(c)]:.2f} at {max(c)}" if c else ""))
+                     + (f", final {cell(c[max(c)])} at {max(c)}" if c else ""))
     out = os.path.join(ROOT, "benchmarks/results/plateau_recipe_r5.md")
     text = "\n".join(lines) + "\n"
     with open(out, "w") as f:
