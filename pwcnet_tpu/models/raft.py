@@ -179,7 +179,25 @@ class RAFT(nn.Module):
 
     @nn.compact
     def __call__(self, im1: jax.Array, im2: jax.Array, *,
-                 train: bool = True) -> List[jax.Array]:
+                 train: bool = True, gt: jax.Array | None = None,
+                 valid: jax.Array | None = None, gamma: float = 0.8,
+                 max_flow: float = 400.0):
+        """Forward pass.
+
+        Default: returns the per-iteration flow list (train=True: every
+        iteration convex-upsampled to full res for the external
+        ``sequence_loss``; train=False: one final full-res flow).
+
+        With ``gt`` (train only): computes the exponentially-weighted
+        sequence loss IN-SCAN — each iteration's upsampled flow is
+        reduced to a masked L1 scalar inside the loop body, so the
+        (iters, N, H, W, 2) stacked output tensor (25 MB at 256x256 b4)
+        is never materialized, written (``dynamic_update_slice``,
+        923 us/step in profile_r5) or re-read by the loss. Returns
+        ``([final_full_res_flow], loss)``; the loss equals
+        ``losses.sequence_loss`` on the stacked flows to fp tolerance
+        (pinned by tests/test_raft.py::test_inscan_sequence_loss_exact).
+        """
         div = 8
         h, w = im1.shape[1], im1.shape[2]
         if h % div or w % div:
@@ -254,6 +272,17 @@ class RAFT(nn.Module):
             logits = 0.25 * mask_out(leaky_relu(mask_hidden(hidden)))
             return convex_upsample(flow, logits, factor=div)
 
+        inscan = train and gt is not None
+        if inscan:
+            # Loop constants of the in-scan loss: the RAFT validity mask
+            # (|gt| < max_flow, standard practice) and its pixel count.
+            gt32 = gt.astype(jnp.float32)
+            mag = jnp.sqrt(jnp.sum(gt32 ** 2, axis=-1))
+            v = (mag < max_flow).astype(jnp.float32)
+            if valid is not None:
+                v = v * valid.astype(jnp.float32)
+            v_denom = jnp.maximum(jnp.sum(v), 1.0)
+
         def step(carry, _):
             hidden, flow = carry
             corr = lookup(jax.lax.stop_gradient(flow))
@@ -268,7 +297,14 @@ class RAFT(nn.Module):
             # so the scan output stays coarse there — saves ~2.6 GFLOP of
             # mask-head convs and a full-res write per skipped iteration
             # (measured A/B: benchmarks/results/raft_profile_r5.md).
-            out = upsample(h_new, flow) if train else flow
+            if inscan:
+                # Reduce this iteration's full-res flow to its masked L1
+                # scalar right here: the upsampled map dies in-scan.
+                up = upsample(h_new, flow)
+                l1 = jnp.sum(jnp.abs(up - gt32), axis=-1)
+                out = jnp.sum(l1 * v) / v_denom
+            else:
+                out = upsample(h_new, flow) if train else flow
             return (h_new, flow), out
 
         flow0 = jnp.zeros(f1.shape[:3] + (2,), jnp.float32)
@@ -279,6 +315,13 @@ class RAFT(nn.Module):
             return [upsample(h1, f1_)]
         (h_last, flow_last), flows = jax.lax.scan(
             step, (hidden, flow0), None, length=self.num_iters)
+        if inscan:
+            # flows: (iters,) per-iteration masked-L1 scalars; apply
+            # gamma^(N-1-i) (sequence_loss semantics, later iterations
+            # emphasized) in one tiny reduction.
+            n = self.num_iters
+            w = gamma ** (n - 1 - jnp.arange(n, dtype=jnp.float32))
+            return [upsample(h_last, flow_last)], jnp.sum(w * flows)
         if not train:
             return [upsample(h_last, flow_last)]
         # (iters, N, H, W, 2) full-res pixel flows -> list, iteration order.

@@ -39,6 +39,10 @@ def _make_loss(loss_kind: str, model, level_weights=None) -> Callable:
             flows, gt, v, weights=weights, flow_scale=model.flow_scale)
     if loss_kind == "sequence":  # RAFT per-iteration loss
         return sequence_loss
+    if loss_kind == "sequence_inscan":
+        # Handled structurally in local_step (the model computes the loss
+        # inside its lax.scan; see models/raft.py in-scan docstring).
+        return None
     raise ValueError(f"unknown loss kind {loss_kind!r}")
 
 
@@ -67,8 +71,17 @@ def make_train_step(model, tx: optax.GradientTransformation,
             batch = augment_batch(batch, aug_key, aug)
 
         def loss_fn(params):
-            flows = model.apply(params, batch["im1"], batch["im2"])
-            loss = loss_fn_inner(flows, batch["flow"], batch["valid"])
+            if loss_kind == "sequence_inscan":
+                # RAFT computes the sequence loss inside its scan — the
+                # per-iteration full-res flows never materialize
+                # (profile_r5: saves the stacked-output writes + loss
+                # re-reads); returns ([final_flow], loss).
+                flows, loss = model.apply(
+                    params, batch["im1"], batch["im2"],
+                    gt=batch["flow"], valid=batch["valid"])
+            else:
+                flows = model.apply(params, batch["im1"], batch["im2"])
+                loss = loss_fn_inner(flows, batch["flow"], batch["valid"])
             return loss, flows
 
         (loss, flows), grads = jax.value_and_grad(

@@ -172,3 +172,56 @@ def test_inference_mode_single_upsample(rng):
     assert f_infer[0].shape == (1, 64, 96, 2)
     np.testing.assert_allclose(np.asarray(f_infer[0]),
                                np.asarray(f_train[-1]), atol=1e-5)
+
+
+def test_inscan_sequence_loss_exact(rng):
+    """The in-scan sequence loss (gt= path) equals losses.sequence_loss
+    on the stacked per-iteration flows, including the max_flow and
+    validity masks, and returns the same final flow."""
+    model = RAFT(num_iters=3, corr_radius=2)
+    im1, im2 = _inputs(rng, h=64, w=96)
+    gt = jnp.asarray(rng.normal(size=(1, 64, 96, 2)) * 30, jnp.float32)
+    # Exercise the max_flow exclusion and an explicit validity mask.
+    gt = gt.at[:, :8, :8, 0].set(500.0)
+    valid = jnp.ones((1, 64, 96), jnp.float32).at[:, -4:, :].set(0.0)
+    params = jax.jit(model.init)(jax.random.key(0), im1, im2)
+
+    flows = jax.jit(lambda p, a, b: model.apply(p, a, b, train=True))(
+        params, im1, im2)
+    ref = sequence_loss(flows, gt, valid)
+    final, loss = jax.jit(
+        lambda p, a, b: model.apply(p, a, b, gt=gt, valid=valid))(
+        params, im1, im2)
+    np.testing.assert_allclose(float(loss), float(ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(final[0]), np.asarray(flows[-1]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_inscan_train_step_matches_sequence(rng):
+    """One jitted train step under loss_kind='sequence_inscan' produces
+    the same loss/grad_norm as 'sequence' (same params, same batch)."""
+    import optax
+    from pwcnet_tpu.train.state import TrainState
+    from pwcnet_tpu.train.step import make_train_step
+
+    model = RAFT(num_iters=2, corr_radius=2)
+    rng_np = np.random.default_rng(3)
+    b = {
+        "im1": jnp.asarray(rng_np.random((2, 32, 32, 3)), jnp.float32),
+        "im2": jnp.asarray(rng_np.random((2, 32, 32, 3)), jnp.float32),
+        "flow": jnp.asarray(rng_np.standard_normal((2, 32, 32, 2)),
+                            jnp.float32),
+        "valid": jnp.ones((2, 32, 32), jnp.float32),
+    }
+    tx = optax.sgd(0.0)  # zero-lr: params stay put, grads still computed
+    params = jax.jit(model.init)(jax.random.key(0), b["im1"], b["im2"])
+    outs = {}
+    for kind in ("sequence", "sequence_inscan"):
+        step = make_train_step(model, tx, aug=None, loss_kind=kind)
+        state = TrainState.create(
+            jax.tree_util.tree_map(jnp.copy, params), tx, jax.random.key(1))
+        _, m = step(state, b)
+        outs[kind] = (float(m["loss"]), float(m["grad_norm"]),
+                      float(m["train_epe"]))
+    for a, c in zip(outs["sequence"], outs["sequence_inscan"]):
+        np.testing.assert_allclose(a, c, rtol=2e-4, atol=1e-5)
