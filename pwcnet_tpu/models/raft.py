@@ -200,9 +200,16 @@ class RAFT(nn.Module):
         """
         div = 8
         h, w = im1.shape[1], im1.shape[2]
-        if h % div or w % div:
+        # The pad divisor is 2*div = 16, NOT div: the second correlation
+        # scale halves the 1/8 grid (avg_pool + flow[:, ::2, ::2]), so the
+        # 1/8 dims must be even — an input with H or W = 8 (mod 16) would
+        # crash at trace time (caught by
+        # tests/test_evaluate_stats.py::test_predict_flow_honors_model_
+        # pad_divisor).
+        if h % self.pad_divisor or w % self.pad_divisor:
             raise ValueError(
-                f"input H, W must be divisible by {div}; got {(h, w)}")
+                f"input H, W must be divisible by {self.pad_divisor}; "
+                f"got {(h, w)}")
         im1 = im1.astype(self.dtype)
         im2 = im2.astype(self.dtype)
 
@@ -329,8 +336,10 @@ class RAFT(nn.Module):
 
     @property
     def pad_divisor(self) -> int:
-        """Inputs' H and W must be divisible by this (frontend padding)."""
-        return 8
+        """Inputs' H and W must be divisible by this (frontend/predict
+        padding): 8 for the GRU grid x2 for the half-scale correlation
+        level (the 1/8 dims must be even)."""
+        return 16
 
     def full_res_flow(self, flows: List[jax.Array],
                       hw: Tuple[int, int]) -> jax.Array:

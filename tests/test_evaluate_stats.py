@@ -1,5 +1,6 @@
 """evaluate_dataset sample-level statistics (VERDICT r4 weak #6)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -57,3 +58,28 @@ def test_sample_mean_and_stderr():
     # Magnitude-binned stderr present for the populated bin (<10 px).
     assert "epe_s0_10_sample_stderr" in res
     assert "epe_s40plus_sample_mean" not in res  # empty bin -> absent
+
+
+def test_predict_flow_honors_model_pad_divisor(rng):
+    """ADVICE r4: predict paths must use the model's own pad_divisor
+    (RAFT: 16), not a hard-coded 64 — a 48x80 input is RAFT-legal
+    without /64 padding and must round-trip at input resolution. Also
+    pins pad_divisor=16 itself: 40x72 (divisible by 8, not 16) must be
+    REJECTED by the model — the half-scale correlation level halves the
+    1/8 grid, so /8-only inputs crash at trace time."""
+    from pwcnet_tpu.models.raft import RAFT
+    from pwcnet_tpu.train.evaluate import predict_flow
+
+    model = RAFT(num_iters=2, corr_radius=2)
+    assert model.pad_divisor == 16
+    import pytest
+    with pytest.raises(ValueError, match="divisible"):
+        jax.jit(model.init)(jax.random.key(0), jnp.zeros((1, 40, 72, 3)),
+                            jnp.zeros((1, 40, 72, 3)))
+    im1 = rng.random((48, 80, 3)).astype(np.float32)
+    im2 = rng.random((48, 80, 3)).astype(np.float32)
+    params = jax.jit(model.init)(
+        jax.random.key(0), jnp.asarray(im1)[None], jnp.asarray(im2)[None])
+    flow = predict_flow(model, params, im1, im2)
+    assert flow.shape == (48, 80, 2)
+    assert np.isfinite(flow).all()

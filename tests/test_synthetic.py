@@ -218,3 +218,29 @@ def test_hard_regime_natural_statistics():
     nz = r2 > 1e-6
     frac = F[nz & (r2 > 0.2)].sum() / F[nz].sum()
     assert frac < 0.01, frac
+
+
+def test_val_cache_byte_cap_and_immutability():
+    """ADVICE r4: the val-split sample cache is byte-capped, and cached
+    arrays are frozen so an in-place consumer mutation raises instead of
+    silently corrupting later evals."""
+    from pwcnet_tpu.data.synthetic import SyntheticFlow
+
+    ds = SyntheticFlow(split="val", hw=(32, 40), val_length=8, seed=5)
+    one = ds[0]
+    nbytes = sum(v.nbytes for v in one.values())
+    # Cap to exactly two samples' bytes: only two entries may be cached.
+    ds2 = SyntheticFlow(split="val", hw=(32, 40), val_length=8, seed=5,
+                        cache_bytes=2 * nbytes)
+    got = [ds2[i] for i in range(8)]
+    assert len(ds2._cache) == 2
+    # Every sample (cached or not) is still correct and deterministic.
+    again = [ds2[i] for i in range(8)]
+    for a, b in zip(got, again):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+    # Cached returns share frozen arrays: in-place writes must raise.
+    with pytest.raises(ValueError):
+        ds2[0]["im1"][0, 0, 0] = 7.0
+    # Non-cached returns (over the cap) are fresh and writable.
+    ds2[7]["im1"][0, 0, 0] = 7.0
